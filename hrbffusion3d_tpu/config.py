@@ -1,0 +1,144 @@
+"""Global configuration for the TPU-native HRBF-Fusion engine.
+
+This mirrors the reference's X-macro parameter singleton
+(``Core/src/Utils/GlobalStateParams.h:12-63`` parsed from
+``GUI/GlobalStateParam.txt``) as a frozen dataclass so it can be closed over by
+jitted functions (every field is a Python static — changing a field retriggers
+compilation, which matches the reference's "set once at startup" semantics).
+
+Defaults are taken from ``GUI/GlobalStateParam.txt`` and the in-code defaults
+(``Core/src/HRBFFusion.h:85-95``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraIntrinsics:
+    """Pinhole intrinsics; reference: ``Core/src/Utils/Intrinsics.h`` and
+    the OpenCV YAML load at ``Core/src/HRBFFusion.cpp:682-781`` (TUM1.yaml)."""
+
+    fx: float = 517.306408
+    fy: float = 516.469215
+    cx: float = 318.643040
+    cy: float = 255.313989
+    width: int = 640
+    height: int = 480
+
+    def level(self, lvl: int) -> "CameraIntrinsics":
+        """Pyramid-level intrinsics (reference ``Intrinsics::operator()``:
+        each level halves resolution and focal lengths)."""
+        s = 1.0 / (1 << lvl)
+        return CameraIntrinsics(
+            fx=self.fx * s,
+            fy=self.fy * s,
+            cx=self.cx * s,
+            cy=self.cy * s,
+            width=self.width >> lvl,
+            height=self.height >> lvl,
+        )
+
+
+# TUM camera presets (fr1/fr2/fr3 + ICL-NUIM), values from the standard
+# TUM1/2/3.yaml calibration files the reference ships with ORB_SLAM2_m.
+TUM1 = CameraIntrinsics(517.306408, 516.469215, 318.643040, 255.313989, 640, 480)
+TUM2 = CameraIntrinsics(520.908620, 521.007327, 325.141442, 249.701764, 640, 480)
+TUM3 = CameraIntrinsics(535.4, 539.2, 320.1, 247.6, 640, 480)
+ICL_NUIM = CameraIntrinsics(481.20, -480.00, 319.50, 239.50, 640, 480)
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    """Engine parameters.
+
+    Field provenance (reference file:line) is given per group; names are
+    de-hungarianised versions of ``GlobalStateParam`` fields.
+    """
+
+    # -- preprocessing (GlobalStateParam.txt:20-31) --
+    use_bilateral_filter: bool = True
+    radius_multiplier: float = 4.0          # preprocessingInitRadiusMultiplier
+    curv_window: int = 3                    # preprocessingCurvEstimationWindow
+    curv_valid_threshold: float = 300.0     # preprocessingCurvValidThreshold
+    normal_pca: bool = True                 # preprocessingNormalEstimationPCA
+    use_conf_eval: bool = False             # preprocessingUseConfEval
+    conf_eval_epsilon: float = 1000.0
+    bilateral_sigma_space: float = 4.5      # depth_bilateral.frag constants
+    bilateral_sigma_depth: float = 0.03
+    bilateral_radius: int = 3
+
+    # -- registration (GlobalStateParam.txt:36-58, RGBDOdometry.cpp) --
+    so3_prealign: bool = True               # registrationPreAlignSO3
+    icp_weight: float = 10.0                # registrationJointICPWeight
+    icp_use_correspondence_search: bool = False
+    icp_search_radius: int = 2
+    icp_use_weighted: bool = True           # registrationICPUseWeightedICP
+    icp_curv_weight_lambda: float = 10.0    # registrationICPCurvWeightImpactControl
+    rgb_use_gradient_weight: bool = False
+    dist_threshold: float = 0.10            # RGBDOdometry.h distThres_
+    angle_threshold: float = 0.342          # sin(20deg), RGBDOdometry.h
+    curvature_threshold: float = 100.0
+    pyramid_iterations: Tuple[int, int, int] = (10, 5, 4)   # RGBDOdometry.cpp:916-918
+    so3_iterations: int = 10                # RGBDOdometry.cpp:845
+    num_pyramid_levels: int = 3             # NUM_PYRS
+    max_depth_delta_rgb: float = 0.07       # RGBDOdometry.h maxDepthDeltaRGB
+    min_gradient_magnitudes: Tuple[float, float, float] = (5.0, 3.0, 1.0)
+    sobel_scale: float = 1.0 / 8.0          # 1/(2*4) standard Sobel normalisation
+    tracking_divergence_limit: float = 0.3  # RGBDOdometry.cpp:1232 ||dt||>0.3 revert
+
+    # -- prediction (GlobalStateParam.txt:63-69) --
+    predict_window_multiplier: int = 3      # preictionWindowMultiplier
+    predict_min_neighbors: int = 6
+    predict_max_neighbors: int = 10
+    predict_conf_threshold: float = 3.0
+    raycast_coarse_step: float = 0.004      # predict_hrbf.frag:166 (4 mm)
+    raycast_coarse_steps: int = 25          # predict_hrbf.frag:163
+    raycast_bisection_iters: int = 10       # predict_hrbf.frag:236
+
+    # -- fusion / cleaning (GlobalStateParam.txt:74-77, copy_unstable.vert) --
+    fuse_window_multiplier: int = 2         # fusionMergeWindowMultiplier
+    clean_window_multiplier: int = 2        # fusionCleanWindowMultiplier
+    depth_consistency: float = 0.05         # data.vert:145 (0.05*lambda)
+    fuse_angle_limit: float = 0.5           # data.vert:154 (rad)
+    unstable_time_limit: int = 200          # copy_unstable.vert:161
+    clean_overlap_limit: int = 8            # copy_unstable.vert:149
+    clean_freespace_limit: int = 4          # copy_unstable.vert:149
+
+    # -- global (GlobalStateParam.txt:79-81) --
+    confidence_threshold: float = 5.0       # globalConfidenceThreshold
+    dense_enough_threshold: float = 0.75    # globalDenseEnoughThresh
+    depth_cutoff: float = 3.5               # globalDepthCutoff
+    depth_min: float = 0.3                  # hard-coded 0.3 in shaders
+
+    # -- keyframes / submaps / BA (HRBFFusion.cpp:289-335, local mapping) --
+    use_local_ba: bool = True
+    use_global_ba: bool = True
+    keyframe_period: int = 10               # NeedNewSubMap: every 10 frames
+    max_submaps: int = 3600                 # GlobalModel.cpp:25 MAX_SUBMAPS
+
+    # -- capacities (TPU static shapes; reference: GlobalModel.cpp:21-22
+    #    TEXTURE_DIMENSION=4596 => 21.1M; we keep it configurable) --
+    map_capacity: int = 1 << 21
+    new_surfels_capacity: int = 1 << 17     # max insertions per frame (checkerboarded)
+
+    # -- TPU-specific --
+    compute_dtype: str = "float32"
+    predict_gather_k: int = 16              # neighbors kept per ray after top-k
+
+
+DEFAULT_CONFIG = SLAMConfig()
+
+
+def small_test_config(**overrides) -> SLAMConfig:
+    """A scaled-down config for unit tests (small capacity, fewer iters)."""
+    base = dict(
+        map_capacity=1 << 14,
+        new_surfels_capacity=1 << 12,
+        pyramid_iterations=(4, 3, 2),
+        so3_iterations=4,
+    )
+    base.update(overrides)
+    return dataclasses.replace(SLAMConfig(), **base)

@@ -1,0 +1,22 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh so the
+sharded code paths are exercised without TPU hardware (SURVEY §4: fake-mesh
+testing via ``xla_force_host_platform_device_count``)."""
+
+import os
+
+# Hard-override: the session environment pins JAX_PLATFORMS to the real TPU
+# tunnel; unit tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize registers the axon TPU plugin in every
+# process and pins the platform; override back to CPU after import.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+assert jax.devices()[0].platform == "cpu"
