@@ -1,0 +1,250 @@
+"""Hermite-RBF (HRBF) implicit field evaluation — the heart of HRBF-Fusion.
+
+TPU-native re-implementation of ``Core/src/Shaders/hrbfbase.glsl`` (252 LoC):
+the compactly-supported Wendland kernel phi(r) = (1-r)^4 (4r+1) and its first
+three derivative tensors, plus the on-the-fly Hermite field
+
+    f(x) = - sum_k  grad_phi_k(x) . (10 n_k)          (hrbfbase.glsl:126-145)
+
+where each neighbor surfel k contributes with its own support radius; no
+linear solve is performed (the scaled normals act as Hermite coefficients).
+The field's gradient and Hessian follow by differentiating once/twice more
+(hrbfbase.glsl:147-195).
+
+Everything here is batched: all functions take a query point per "row" and a
+fixed-size neighbor set (K) per row with a validity mask — the GLSL loops
+over <=100 dynamically-gathered neighbors become masked reductions over a
+static K axis, which is exactly what the VPU wants (dense 8x128 lanes, no
+divergence).
+
+Closed forms (verified against jax autodiff in tests/test_hrbf.py):
+  with T = support, r = |v|/T, s = 1 - r, b = s^2 / r:
+    phi      = s^4 (4r + 1)                               for r <= 1
+    grad phi = -(20/T^2) s^3 v                            (getWeightD, l.20)
+    hess phi = -(20/T^2) s^3 I + (60/T^4) b v v^T         (getWeightH, l.37)
+    d3 phi   = (60/T^4)[ b (d_ic v_j + d_jc v_i + d_ij v_c)
+                         - v_i v_j v_c (2s + b) / (T^2 r^2) ]   (getWeightT, l.72)
+  limits: grad,d3 -> 0 at r=0; hess -> -(20/T^2) I at r=0; all 0 for r>1.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-12
+# The Hermite coefficient scale applied to normals (hrbfbase.glsl:132 "10.0 *").
+HERMITE_SCALE = 10.0
+
+
+def phi(d2: jnp.ndarray, support: jnp.ndarray) -> jnp.ndarray:
+    """Wendland-like weight, any broadcastable shapes. hrbfbase.glsl:7-16."""
+    T2 = support * support
+    r = jnp.sqrt(jnp.maximum(d2, 0.0) / jnp.maximum(T2, _EPS))
+    s = jnp.maximum(1.0 - r, 0.0)
+    return jnp.where(d2 <= T2, (s ** 4) * (4.0 * r + 1.0), 0.0)
+
+
+def grad_phi(v: jnp.ndarray, d2: jnp.ndarray, support: jnp.ndarray) -> jnp.ndarray:
+    """∇phi: (...,3). hrbfbase.glsl:20-34 (returns t*v, t = -20 s^3 / T^2)."""
+    T2 = support * support
+    safe_T2 = jnp.maximum(T2, _EPS)
+    r = jnp.sqrt(jnp.maximum(d2, 0.0) / safe_T2)
+    s = jnp.maximum(1.0 - r, 0.0)
+    t = -20.0 * (s ** 3) / safe_T2
+    inside = (d2 <= T2) & (d2 > 0.0)
+    return jnp.where(inside[..., None], t[..., None] * v, 0.0)
+
+
+def hess_phi(v: jnp.ndarray, d2: jnp.ndarray, support: jnp.ndarray) -> jnp.ndarray:
+    """∇²phi: (...,3,3). hrbfbase.glsl:37-69.
+
+    At d2==0 the limit is -(20/T^2) I (l.45-50)."""
+    T2 = support * support
+    safe_T2 = jnp.maximum(T2, _EPS)
+    r = jnp.sqrt(jnp.maximum(d2, 0.0) / safe_T2)
+    safe_r = jnp.maximum(r, 1e-20)
+    s = jnp.maximum(1.0 - r, 0.0)
+    b = s * s / safe_r
+    eye = jnp.eye(3, dtype=v.dtype)
+    diag_term = (-20.0 * (s ** 3) / safe_T2)[..., None, None] * eye
+    outer = v[..., :, None] * v[..., None, :]
+    vv_term = (60.0 * b / (safe_T2 * safe_T2))[..., None, None] * outer
+    inside = (d2 <= T2) & (d2 > 0.0)
+    at_zero = d2 == 0.0
+    H = jnp.where(inside[..., None, None], diag_term + vv_term, 0.0)
+    H_zero = (-20.0 / safe_T2)[..., None, None] * eye
+    valid_support = T2 > 0.0
+    return jnp.where(
+        (at_zero & valid_support)[..., None, None], H_zero, H
+    )
+
+
+def third_phi(v: jnp.ndarray, d2: jnp.ndarray, support: jnp.ndarray) -> jnp.ndarray:
+    """∇³phi: (...,3,3,3), index order [i,j,c] = d^3 phi / dv_i dv_j dv_c.
+
+    hrbfbase.glsl:72-124 (getWeightT); zero at d2==0 and outside support."""
+    T2 = support * support
+    safe_T2 = jnp.maximum(T2, _EPS)
+    r = jnp.sqrt(jnp.maximum(d2, 0.0) / safe_T2)
+    safe_r = jnp.maximum(r, 1e-20)
+    s = jnp.maximum(1.0 - r, 0.0)
+    b = s * s / safe_r
+    c60 = 60.0 / (safe_T2 * safe_T2)
+    eye = jnp.eye(3, dtype=v.dtype)
+    # sym = d_ic v_j + d_jc v_i + d_ij v_c
+    sym = (
+        eye[..., :, None, :] * v[..., None, :, None]
+        + eye[..., None, :, :] * v[..., :, None, None]
+        + eye[..., :, :, None] * v[..., None, None, :]
+    )
+    vvv = v[..., :, None, None] * v[..., None, :, None] * v[..., None, None, :]
+    coef = (2.0 * s + b) / (safe_T2 * safe_r * safe_r)
+    t = c60[..., None, None, None] * (
+        b[..., None, None, None] * sym - coef[..., None, None, None] * vvv
+    )
+    inside = (d2 <= T2) & (d2 > 0.0)
+    return jnp.where(inside[..., None, None, None], t, 0.0)
+
+
+def _diffs(x: jnp.ndarray, nb_pos: jnp.ndarray):
+    """x: (...,3); nb_pos: (...,K,3) -> v=(...,K,3), d2=(...,K)."""
+    v = x[..., None, :] - nb_pos
+    d2 = jnp.sum(v * v, axis=-1)
+    return v, d2
+
+
+def hrbf_value(
+    x: jnp.ndarray,
+    nb_pos: jnp.ndarray,
+    nb_normal: jnp.ndarray,
+    nb_support: jnp.ndarray,
+    nb_mask: jnp.ndarray,
+):
+    """f(x) and the per-query count of supporting neighbors.
+
+    hrbfbase.glsl:126-145.  x:(...,3) nb_*:(...,K,*) mask:(...,K) bool.
+    Returns (f:(...,), n_support:(...,) int32).
+    """
+    v, d2 = _diffs(x, nb_pos)
+    g = grad_phi(v, d2, nb_support)
+    contrib = -jnp.sum(g * (HERMITE_SCALE * nb_normal), axis=-1)
+    m = nb_mask & (d2 < nb_support * nb_support)
+    f = jnp.sum(jnp.where(m, contrib, 0.0), axis=-1)
+    n_support = jnp.sum(m.astype(jnp.int32), axis=-1)
+    return f, n_support
+
+
+def hrbf_gradient(
+    x: jnp.ndarray,
+    nb_pos: jnp.ndarray,
+    nb_normal: jnp.ndarray,
+    nb_support: jnp.ndarray,
+    nb_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """∇f(x): (...,3).  hrbfbase.glsl:147-166."""
+    v, d2 = _diffs(x, nb_pos)
+    H = hess_phi(v, d2, nb_support)  # (...,K,3,3)
+    sol = HERMITE_SCALE * nb_normal
+    g = -jnp.einsum("...kij,...kj->...ki", H, sol)
+    return jnp.sum(jnp.where(nb_mask[..., None], g, 0.0), axis=-2)
+
+
+def hrbf_hessian(
+    x: jnp.ndarray,
+    nb_pos: jnp.ndarray,
+    nb_normal: jnp.ndarray,
+    nb_support: jnp.ndarray,
+    nb_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """∇²f(x): (...,3,3).  hrbfbase.glsl:168-195."""
+    v, d2 = _diffs(x, nb_pos)
+    T3 = third_phi(v, d2, nb_support)  # (...,K,3,3,3)
+    sol = HERMITE_SCALE * nb_normal
+    h = -jnp.einsum("...kijc,...kc->...kij", T3, sol)
+    return jnp.sum(jnp.where(nb_mask[..., None, None], h, 0.0), axis=-3)
+
+
+def hrbf_value_grad(
+    x: jnp.ndarray,
+    nb_pos: jnp.ndarray,
+    nb_normal: jnp.ndarray,
+    nb_support: jnp.ndarray,
+    nb_mask: jnp.ndarray,
+):
+    """Fused (f, ∇f, n_support) — shares the distance computation; the hot
+    combination used by the raycaster."""
+    v, d2 = _diffs(x, nb_pos)
+    sol = HERMITE_SCALE * nb_normal
+    g = grad_phi(v, d2, nb_support)
+    m = nb_mask & (d2 < nb_support * nb_support)
+    f = jnp.sum(jnp.where(m, -jnp.sum(g * sol, axis=-1), 0.0), axis=-1)
+    H = hess_phi(v, d2, nb_support)
+    gr = -jnp.einsum("...kij,...kj->...ki", H, sol)
+    grad = jnp.sum(jnp.where(nb_mask[..., None], gr, 0.0), axis=-2)
+    n_support = jnp.sum(m.astype(jnp.int32), axis=-1)
+    return f, grad, n_support
+
+
+def principal_curvatures(gradient: jnp.ndarray, hessian: jnp.ndarray):
+    """Principal curvatures + directions of the implicit's Monge patch.
+
+    Re-implements ``depth_curvature_gradient.frag:95-137``: treat the surface
+    locally as a height field z = h(x, y) over the tangent-ish image plane,
+    with h_x = -g_x/g_z etc., build the first/second fundamental forms, solve
+    the quadratic for k1 >= k2, and return principal directions in 3-D
+    (r_u + lambda r_v, unnormalised z component from the patch param).
+
+    gradient: (...,3) — HRBF gradient (surface normal direction, g_z > 0 by
+    the map's normal convention).  hessian: (...,3,3).
+    Returns (k1, k2, dir1:(...,3), dir2:(...,3), valid:(...,)).
+    Invalid entries get k = 1000 (the reference's sentinel).
+    """
+    gx, gy, gz = gradient[..., 0], gradient[..., 1], gradient[..., 2]
+    safe_gz = jnp.where(jnp.abs(gz) > 1e-9, gz, 1e-9)
+    g = hessian
+    h_x = -gx / safe_gz
+    h_y = -gy / safe_gz
+    gz3 = safe_gz ** 3
+    h_xx = (2 * gx * gz * g[..., 0, 2] - gx * gx * g[..., 2, 2]
+            - gz * gz * g[..., 0, 0]) / gz3
+    h_xy = (gx * gz * g[..., 1, 2] + gy * gz * g[..., 0, 2]
+            - gx * gy * g[..., 2, 2] - gz * gz * g[..., 0, 1]) / gz3
+    h_yy = (2 * gy * gz * g[..., 1, 2] - gy * gy * g[..., 2, 2]
+            - gz * gz * g[..., 1, 1]) / gz3
+
+    E = 1.0 + h_x * h_x
+    F = h_x * h_y
+    G = 1.0 + h_y * h_y
+    ln = jnp.sqrt(h_x * h_x + h_y * h_y + 1.0)
+    L = h_xx / ln
+    M = h_xy / ln
+    N = h_yy / ln
+
+    denom = E * G - F * F
+    safe_denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    k_gauss = (L * N - M * M) / safe_denom
+    k_mean = (E * N + G * L - 2.0 * F * M) / (2.0 * safe_denom)
+    delta = jnp.maximum(k_mean * k_mean - k_gauss, 0.0)
+    sq = jnp.sqrt(delta)
+    k1 = k_mean + sq
+    k2 = k_mean - sq
+
+    # principal directions (frag:129-136)
+    d1_den = N - k1 * G
+    d2_den = N - k2 * G
+    lam1 = -(M - k1 * F) / jnp.where(jnp.abs(d1_den) > 1e-9, d1_den, 1e-9)
+    lam2 = -(M - k2 * F) / jnp.where(jnp.abs(d2_den) > 1e-9, d2_den, 1e-9)
+    r_u = jnp.stack([jnp.ones_like(h_x), jnp.zeros_like(h_x), h_x], axis=-1)
+    r_v = jnp.stack([jnp.zeros_like(h_y), jnp.ones_like(h_y), h_y], axis=-1)
+
+    def _norm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+    dir1 = _norm(r_u + lam1[..., None] * r_v)
+    dir2 = _norm(r_u + lam2[..., None] * r_v)
+
+    valid = jnp.isfinite(k1) & jnp.isfinite(k2)
+    sentinel = jnp.float32(1000.0)
+    k1 = jnp.where(valid, k1, sentinel)
+    k2 = jnp.where(valid, k2, sentinel)
+    return k1, k2, dir1, dir2, valid

@@ -1,0 +1,126 @@
+import jax.numpy as jnp
+import numpy as np
+
+from hrbffusion3d_tpu.config import CameraIntrinsics, small_test_config
+from hrbffusion3d_tpu.core import camera
+from hrbffusion3d_tpu.eval import synth
+from hrbffusion3d_tpu.ops import preprocess
+
+SMALL = CameraIntrinsics(fx=120.0, fy=120.0, cx=48.0, cy=36.0, width=96, height=72)
+CFG = small_test_config()
+
+
+def _frame(pose=None):
+    scene = synth.default_room()
+    p = jnp.eye(4) if pose is None else pose
+    depth, rgb = synth.render_frame(scene, p, SMALL)
+    return depth, rgb
+
+
+def test_bilateral_preserves_planes():
+    depth, _ = _frame()
+    filt = preprocess.bilateral_filter(depth, CFG)
+    d = np.asarray(depth)
+    f = np.asarray(filt)
+    valid = (d > 0.3) & (d < 3.4)
+    assert np.abs(f[valid] - d[valid]).mean() < 0.005
+    # invalid input stays invalid
+    assert (f[d == 0] == 0).all()
+
+
+def test_bilateral_denoises():
+    """Noise reduction on a front-facing flat surface (slanted surfaces pick
+    up smoothing bias, which matches the reference's behavior)."""
+    rng = np.random.default_rng(0)
+    d = np.full((48, 48), 2.0, np.float32)
+    noisy = jnp.asarray(d + rng.normal(0, 0.01, d.shape).astype(np.float32))
+    filt = np.asarray(preprocess.bilateral_filter(noisy, CFG))
+    inner = slice(10, -10)
+    err_noisy = np.abs(np.asarray(noisy) - d)[inner, inner].mean()
+    err_filt = np.abs(filt - d)[inner, inner].mean()
+    assert err_filt < 0.3 * err_noisy
+
+
+def test_vertex_normal_radius_on_plane_scene():
+    # camera facing the back wall (z=4 plane, normal (0,0,-1) outward,
+    # stored as n_z > 0 per the map convention)
+    scene = synth.Scene(
+        spheres=jnp.zeros((0, 4)),
+        planes=jnp.array([[0.0, 0.0, -1.0, -2.0]]),
+    )
+    depth, _ = synth.render_frame(scene, jnp.eye(4), SMALL)
+    pre = preprocess.vertex_normal_radius(depth, depth, SMALL, CFG)
+    n = np.asarray(pre.normal)
+    valid = np.asarray(pre.valid)
+    assert valid.mean() > 0.8
+    nz = n[valid][:, 2]
+    np.testing.assert_allclose(nz, 1.0, atol=0.02)
+    # radius approx sqrt2 * z / f * multiplier (front-facing => no slant)
+    r = np.asarray(pre.radius)[valid]
+    expect = CFG.radius_multiplier * np.sqrt(2) * 2.0 / 120.0
+    np.testing.assert_allclose(r.mean(), expect, rtol=0.05)
+
+
+def test_normal_pca_vs_central_diff():
+    depth, _ = _frame()
+    filt = preprocess.bilateral_filter(depth, CFG)
+    v = camera.unproject(filt, SMALL)
+    n_pca = preprocess.normal_pca(v, CFG)
+    n_cd = preprocess.normal_central_diff(v, depth, CFG)
+    both = (np.linalg.norm(np.asarray(n_pca), axis=-1) > 0.5) & (
+        np.linalg.norm(np.asarray(n_cd), axis=-1) > 0.5
+    )
+    dots = np.sum(np.asarray(n_pca)[both] * np.asarray(n_cd)[both], axis=-1)
+    # same orientation convention on smooth regions
+    assert (dots > 0.9).mean() > 0.85
+
+
+def test_curvature_sphere_vs_plane():
+    scene = synth.Scene(
+        spheres=jnp.array([[0.0, 0.0, 1.8, 0.5]]),
+        planes=jnp.array([[0.0, 0.0, -1.0, -3.0]]),
+    )
+    depth, _ = synth.render_frame(scene, jnp.eye(4), SMALL)
+    pre = preprocess.vertex_normal_radius(depth, depth, SMALL, CFG)
+    curv = preprocess.curvature_gradient(pre, SMALL, CFG, chunk=2048)
+    k1 = np.asarray(curv.k1)
+    valid = np.asarray(curv.valid)
+    d = np.asarray(depth)
+
+    # centre of the sphere cap: k ~ 1/0.5 = 2 (convex towards camera)
+    cy, cx = 36, 48
+    sph = valid & (d < 1.6) & (d > 0)
+    assert sph.sum() > 50
+    k1s = k1[sph]
+    k2s = np.asarray(curv.k2)[sph]
+    # at 96x72 the discrete sampling biases the estimate; the precise check
+    # (15% tol) is in test_hrbf.test_curvature_of_sphere with clean surfels
+    mean_curv = np.median((k1s + k2s) / 2.0)
+    assert 1.2 < mean_curv < 3.0  # true value 2.0
+    assert np.median(k2s) > 0.8   # clearly convex
+
+    # wall region: near-zero curvature
+    wall = valid & (d > 2.5)
+    assert wall.sum() > 100
+    assert abs(np.median(k1[wall])) < 0.3
+
+
+def test_curvature_normal_opt_close_to_pca_normal():
+    depth, _ = _frame()
+    pre = preprocess.vertex_normal_radius(depth, depth, SMALL, CFG)
+    curv = preprocess.curvature_gradient(pre, SMALL, CFG, chunk=2048)
+    ok = np.asarray(curv.valid)
+    assert ok.mean() > 0.5
+    dots = np.sum(np.asarray(curv.normal_opt)[ok] * np.asarray(pre.normal)[ok], axis=-1)
+    assert (dots > 0.8).mean() > 0.9
+
+
+def test_confidence_map_radial():
+    depth, _ = _frame()
+    pre = preprocess.vertex_normal_radius(depth, depth, SMALL, CFG)
+    curv = preprocess.curvature_gradient(pre, SMALL, CFG, chunk=2048)
+    conf = np.asarray(preprocess.confidence_map(pre, curv, SMALL, CFG, weighting=1.0))
+    # max at principal point, decreasing radially
+    assert conf[36, 48] > conf[0, 0]
+    assert conf.max() <= 1.0 + 1e-6
+    np.testing.assert_allclose(conf[36, 48], 1.0, atol=0.01)
