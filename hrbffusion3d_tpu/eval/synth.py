@@ -61,12 +61,19 @@ def default_room(dtype=jnp.float32) -> Scene:
 
 
 def _texture(p: jnp.ndarray) -> jnp.ndarray:
-    """Procedural 3-D texture -> rgb in [0,1]; smooth but high-gradient so the
-    photometric Gauss-Newton term is well conditioned."""
+    """Procedural 3-D texture -> rgb in [0,1]; multi-octave so the
+    photometric Gauss-Newton term sees strong gradients at every pyramid
+    level (TUM-like image gradient statistics)."""
+    # Frequencies kept <= ~10 rad/m so the image-space period stays >= ~8 px
+    # at the coarsest pyramid level (no aliasing / false photometric minima),
+    # with large amplitudes for strong gradients.
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    r = 0.5 + 0.25 * jnp.sin(7.0 * x) * jnp.cos(5.0 * z) + 0.15 * jnp.sin(3.0 * y)
-    g = 0.5 + 0.25 * jnp.sin(6.0 * y + 1.3) * jnp.cos(4.0 * x) + 0.1 * jnp.cos(9.0 * z)
-    b = 0.5 + 0.25 * jnp.cos(8.0 * z + 0.7) * jnp.sin(5.0 * y)
+    r = (0.5 + 0.25 * jnp.sin(7.0 * x) * jnp.cos(5.0 * z) + 0.12 * jnp.sin(3.0 * y)
+         + 0.18 * jnp.sin(9.5 * x + 1.7 * z))
+    g = (0.5 + 0.25 * jnp.sin(6.0 * y + 1.3) * jnp.cos(4.0 * x) + 0.1 * jnp.cos(9.0 * z)
+         + 0.18 * jnp.cos(8.5 * y + 2.0 * x))
+    b = (0.5 + 0.25 * jnp.cos(8.0 * z + 0.7) * jnp.sin(5.0 * y)
+         + 0.18 * jnp.sin(9.0 * (x + y)))
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
 
 

@@ -1,0 +1,256 @@
+"""Frame-to-model tracking: joint ICP + photometric Gauss-Newton.
+
+TPU-native replacement for ``RGBDOdometry::getIncrementalTransformation``
+(``Core/src/Utils/RGBDOdometry.cpp:796-1249``): optional SO(3) image-warp
+pre-alignment at the coarsest level, then a coarse-to-fine loop with
+iterations {10,5,4} solving ``(A_rgb + w^2 A_icp) x = (b_rgb + w b_icp)``,
+w = 10.
+
+The reference's structure downloads 27 floats to the host and solves with
+Eigen *every iteration* (2 device->host transfers x 19 iterations, SURVEY
+§3.3); here the entire coarse-to-fine loop — residuals, Gram matrices, 6x6
+solves, SE(3) updates — is one jitted computation with ``lax.fori_loop``
+per level, no host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraIntrinsics, SLAMConfig
+from ..core import camera, lie
+from ..ops import icp as icp_ops
+from ..ops import pyramid as pyr_ops
+
+
+class TrackingInputs(NamedTuple):
+    """Per-level (tuple indexed by pyramid level) tracking inputs.
+
+    *next_* = live frame (camera frame); *last_* = model prediction from the
+    previous frame's pose (vertex/normal in WORLD frame as in initICPModel,
+    RGBDOdometry.cpp:208-247; depth/intensity in the previous camera);
+    prev_intensity = previous live frame (for SO3 pre-alignment, which warps
+    lastNextImage -> nextImage, RGBDOdometry.cpp:827-914)."""
+
+    next_depth: tuple
+    next_intensity: tuple
+    next_vmap: tuple
+    next_nmap: tuple
+    last_depth: tuple
+    last_intensity: tuple
+    last_vmap_g: tuple
+    last_nmap_g: tuple
+    icp_weight: tuple
+    prev_intensity: tuple
+
+
+def build_pyramid_scalar(x0: jnp.ndarray, levels: int, down) -> tuple:
+    out = [x0]
+    for _ in range(levels - 1):
+        out.append(down(out[-1]))
+    return tuple(out)
+
+
+def build_inputs(
+    next_depth: jnp.ndarray,        # (H,W) filtered metric depth
+    next_intensity: jnp.ndarray,    # (H,W) 0-255 grey
+    next_vmap: jnp.ndarray,         # (H,W,3) filtered vertex map
+    next_nmap: jnp.ndarray,         # (H,W,3)
+    pred_vmap: jnp.ndarray,         # (H,W,3) model prediction, prev CAMERA frame
+    pred_nmap: jnp.ndarray,         # (H,W,3) prev camera frame
+    pred_intensity: jnp.ndarray,    # (H,W) predicted/filled grey
+    icp_weight: jnp.ndarray,        # (H,W) predicted per-pixel ICP weight
+    prev_R: jnp.ndarray, prev_t: jnp.ndarray,  # prev pose (world<-cam)
+    prev_intensity: jnp.ndarray,    # (H,W) previous live frame grey
+    cfg: SLAMConfig,
+) -> TrackingInputs:
+    """Build all pyramids; transforms the model prediction into world frame
+    with the previous pose (initICPModel semantics)."""
+    L = cfg.num_pyramid_levels
+    pred_valid = pred_vmap[..., 2] > 0
+    vmap_g = jnp.where(
+        pred_valid[..., None], pred_vmap @ prev_R.T + prev_t, 0.0
+    )
+    nmap_g = pred_nmap @ prev_R.T
+    nmap_g = jnp.where(pred_valid[..., None], nmap_g, 0.0)
+    pred_depth = jnp.where(pred_valid, pred_vmap[..., 2], 0.0)
+
+    return TrackingInputs(
+        next_depth=build_pyramid_scalar(next_depth, L, pyr_ops.pyr_down_depth),
+        next_intensity=build_pyramid_scalar(next_intensity, L, pyr_ops.pyr_down_intensity),
+        next_vmap=build_pyramid_scalar(next_vmap, L, lambda m: pyr_ops.resize_map(m)),
+        next_nmap=build_pyramid_scalar(next_nmap, L, lambda m: pyr_ops.resize_map(m, normalize=True)),
+        last_depth=build_pyramid_scalar(pred_depth, L, pyr_ops.pyr_down_depth),
+        last_intensity=build_pyramid_scalar(pred_intensity, L, pyr_ops.pyr_down_intensity),
+        last_vmap_g=build_pyramid_scalar(vmap_g, L, lambda m: pyr_ops.resize_map(m)),
+        last_nmap_g=build_pyramid_scalar(nmap_g, L, lambda m: pyr_ops.resize_map(m, normalize=True)),
+        icp_weight=build_pyramid_scalar(icp_weight, L, pyr_ops.resize_scalar_map),
+        prev_intensity=build_pyramid_scalar(prev_intensity, L, pyr_ops.pyr_down_intensity),
+    )
+
+
+class TrackResult(NamedTuple):
+    R: jnp.ndarray           # (3,3) new pose rotation (world<-cam)
+    t: jnp.ndarray           # (3,)
+    icp_error: jnp.ndarray   # sqrt(residual2)/count at finest level
+    icp_count: jnp.ndarray
+    rgb_error: jnp.ndarray
+    rgb_count: jnp.ndarray
+    A: jnp.ndarray           # (6,6) final joint system (covariance = A^-1)
+    b: jnp.ndarray
+
+
+def _k_matrix(intr: CameraIntrinsics) -> jnp.ndarray:
+    return jnp.array(
+        [[intr.fx, 0.0, intr.cx], [0.0, intr.fy, intr.cy], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+
+
+def _so3_prealign(inp: TrackingInputs, intr: CameraIntrinsics, cfg: SLAMConfig):
+    """10-iteration 3-DoF rotation estimate at the coarsest level
+    (RGBDOdometry.cpp:827-914), with the reference's keep-best/divergence
+    logic expressed as a masked carry."""
+    lvl = cfg.num_pyramid_levels - 1
+    K = _k_matrix(intr.level(lvl))
+    Kinv = jnp.linalg.inv(K)
+    last = inp.prev_intensity[lvl]
+    nxt = inp.next_intensity[lvl]
+
+    def body(_, carry):
+        R_lr, last_err, last_cnt, best_R, done = carry
+        homography = K @ R_lr @ Kinv
+        krlr = K @ R_lr
+        A, b, r2, cnt = icp_ops.so3_step(last, nxt, homography, Kinv, krlr)
+        err = jnp.sqrt(r2) / jnp.maximum(cnt, 1.0)
+        diverged = err > last_err + 0.001
+        # solve 3x3
+        x = icp_ops.solve_system(A, b)
+        upd = lie.so3_exp(x) @ R_lr
+        new_done = done | diverged
+        R_new = jnp.where(new_done, R_lr, upd)
+        best_new = jnp.where(diverged & ~done, best_R, R_lr)
+        return (R_new, jnp.where(new_done, last_err, err),
+                jnp.where(new_done, last_cnt, cnt), best_new, new_done)
+
+    eye = jnp.eye(3, dtype=jnp.float32)
+    init = (eye, jnp.float32(3.4e37), jnp.float32(0.0), eye, jnp.array(False))
+    R_lr, _, _, best_R, done = jax.lax.fori_loop(0, cfg.so3_iterations, body, init)
+    return jnp.where(done, best_R, R_lr)
+
+
+def track(
+    prev_R: jnp.ndarray, prev_t: jnp.ndarray,
+    inp: TrackingInputs,
+    intr: CameraIntrinsics, cfg: SLAMConfig,
+    rgb_only: bool = False,
+) -> TrackResult:
+    """The full incremental-transform estimate (RGBDOdometry.cpp:796-1249)."""
+    use_icp = (not rgb_only) and cfg.icp_weight > 0
+    use_rgb = rgb_only or cfg.icp_weight < 100
+
+    result_rt = jnp.eye(4, dtype=jnp.float32)
+    if cfg.so3_prealign and use_rgb:
+        R0 = _so3_prealign(inp, intr, cfg)
+        result_rt = result_rt.at[:3, :3].set(R0)
+
+    prev_R_inv = prev_R.T
+    L = cfg.num_pyramid_levels
+    iters = cfg.pyramid_iterations
+
+    stats = {
+        "icp_e": jnp.float32(0), "icp_c": jnp.float32(0),
+        "rgb_e": jnp.float32(0), "rgb_c": jnp.float32(0),
+    }
+    lastA = jnp.zeros((6, 6), jnp.float32)
+    lastb = jnp.zeros((6,), jnp.float32)
+
+    for lvl in range(L - 1, -1, -1):
+        li = intr.level(lvl)
+        K = _k_matrix(li)
+        Kinv = jnp.linalg.inv(K)
+        d_idx, d_idy = pyr_ops.sobel_derivatives(inp.next_intensity[lvl])
+        last_cloud = camera.unproject(inp.last_depth[lvl], li)
+        min_scale = (cfg.min_gradient_magnitudes[lvl] ** 2) / (cfg.sobel_scale ** 2)
+
+        def body(_, carry, lvl=lvl, li=li, K=K, Kinv=Kinv, d_idx=d_idx,
+                 d_idy=d_idy, last_cloud=last_cloud, min_scale=min_scale):
+            result_rt, lastA, lastb, st = carry
+            rt_inv = lie.se3_inverse(result_rt)
+            krkinv = K @ rt_inv[:3, :3] @ Kinv
+            kt = K @ rt_inv[:3, 3]
+
+            # current pose estimate: currentT = prevT * resultRt^-1
+            # (RGBDOdometry.cpp:1196-1204)
+            cur = lie.rt_to_mat(prev_R, prev_t) @ rt_inv
+            R_curr = cur[:3, :3]
+            t_curr = cur[:3, 3]
+
+            A = jnp.zeros((6, 6), jnp.float32)
+            b = jnp.zeros((6,), jnp.float32)
+
+            if use_rgb:
+                corres = icp_ops.rgb_residual(
+                    krkinv, kt, d_idx, d_idy,
+                    inp.last_depth[lvl], inp.next_depth[lvl],
+                    inp.last_intensity[lvl], inp.next_intensity[lvl],
+                    min_scale, cfg,
+                )
+                # sigmaVal quirk preserved from the reference
+                # (RGBDOdometry.cpp:1017: the expression evaluates to
+                # sqrt(count) for any nonzero residual)
+                sigma_val = jnp.where(
+                    rgb_only, jnp.float32(-1.0), jnp.sqrt(jnp.maximum(corres.count, 1.0))
+                )
+                rgb_res = icp_ops.rgb_step(
+                    corres, sigma_val, last_cloud, d_idx, d_idy, li, cfg
+                )
+                A = A + rgb_res.A
+                b = b + rgb_res.b
+                st = {**st, "rgb_e": jnp.sqrt(corres.sigma_sum) / jnp.maximum(corres.count, 1.0),
+                      "rgb_c": corres.count}
+
+            if use_icp:
+                icp_res = icp_ops.icp_step(
+                    R_curr, t_curr, prev_R_inv, prev_t,
+                    inp.next_vmap[lvl], inp.next_nmap[lvl],
+                    inp.last_vmap_g[lvl], inp.last_nmap_g[lvl],
+                    inp.icp_weight[lvl], li, cfg,
+                )
+                w = cfg.icp_weight if use_rgb else 1.0
+                A = A + (w * w) * icp_res.A
+                b = b + w * icp_res.b
+                st = {**st, "icp_e": jnp.sqrt(icp_res.residual2) / jnp.maximum(icp_res.count, 1.0),
+                      "icp_c": icp_res.count}
+
+            x = icp_ops.solve_system(A, b)
+            # computeUpdateSE3: inc = [rodrigues(x[3:]) | x[:3]] composed on
+            # the left (rotation and translation NOT coupled through V)
+            inc = jnp.eye(4, dtype=jnp.float32)
+            inc = inc.at[:3, :3].set(lie.so3_exp(x[3:]))
+            inc = inc.at[:3, 3].set(x[:3])
+            result_rt = inc @ result_rt
+            return (result_rt, A, b, st)
+
+        carry = (result_rt, lastA, lastb, stats)
+        carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
+        result_rt, lastA, lastb, stats = carry
+
+    cur = lie.rt_to_mat(prev_R, prev_t) @ lie.se3_inverse(result_rt)
+    R_new = lie.orthonormalise(cur[:3, :3])
+    t_new = cur[:3, 3]
+
+    # divergence guard (RGBDOdometry.cpp:1232-1236)
+    too_far = jnp.linalg.norm(t_new - prev_t) > cfg.tracking_divergence_limit
+    R_new = jnp.where(too_far, prev_R, R_new)
+    t_new = jnp.where(too_far, prev_t, t_new)
+
+    return TrackResult(
+        R=R_new, t=t_new,
+        icp_error=stats["icp_e"], icp_count=stats["icp_c"],
+        rgb_error=stats["rgb_e"], rgb_count=stats["rgb_c"],
+        A=lastA, b=lastb,
+    )

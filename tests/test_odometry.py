@@ -1,0 +1,149 @@
+"""Two-frame tracking fixture tests (the TPU analogue of GPUTest's 2-frame
+protocol, GPUTest/src/GPUTest.cpp:146-333, but with accuracy assertions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hrbffusion3d_tpu.config import CameraIntrinsics, small_test_config
+from hrbffusion3d_tpu.core import camera, lie
+from hrbffusion3d_tpu.eval import synth
+from hrbffusion3d_tpu.ops import icp as icp_ops
+from hrbffusion3d_tpu.ops import preprocess, pyramid
+from hrbffusion3d_tpu.tracking import odometry
+
+# TUM-like FOV (640/517 aspect) at 128x96 test resolution
+INTR = CameraIntrinsics(fx=103.0, fy=103.0, cx=64.0, cy=48.0, width=128, height=96)
+CFG = small_test_config(pyramid_iterations=(10, 5, 4), so3_iterations=10)
+
+
+def _make_frame(pose):
+    scene = synth.default_room()
+    depth, rgb = synth.render_frame(scene, jnp.asarray(pose), INTR)
+    pre = preprocess.vertex_normal_radius(depth, depth, INTR, CFG)
+    intensity = pyramid.rgb_to_intensity(rgb)
+    return depth, intensity, pre
+
+
+def _track_pair(pose0, pose1, cfg=CFG):
+    d0, i0, pre0 = _make_frame(pose0)
+    d1, i1, pre1 = _make_frame(pose1)
+    R0 = jnp.asarray(pose0[:3, :3], jnp.float32)
+    t0 = jnp.asarray(pose0[:3, 3], jnp.float32)
+    inp = odometry.build_inputs(
+        next_depth=d1,
+        next_intensity=i1,
+        next_vmap=pre1.vertex_filtered,
+        next_nmap=pre1.normal,
+        pred_vmap=pre0.vertex_filtered,   # frame-to-frame: model = frame 0
+        pred_nmap=pre0.normal,
+        pred_intensity=i0,
+        icp_weight=jnp.ones_like(d0),
+        prev_R=R0, prev_t=t0,
+        prev_intensity=i0,
+        cfg=cfg,
+    )
+    res = odometry.track(R0, t0, inp, INTR, cfg)
+    est = np.eye(4, dtype=np.float32)
+    est[:3, :3] = np.asarray(res.R)
+    est[:3, 3] = np.asarray(res.t)
+    return est, res
+
+
+def _pose_err(est, gt):
+    e = np.linalg.inv(gt) @ est
+    terr = np.linalg.norm(e[:3, 3])
+    rerr = np.degrees(np.arccos(np.clip((np.trace(e[:3, :3]) - 1) / 2, -1, 1)))
+    return terr, rerr
+
+
+def test_identity_motion():
+    pose = np.eye(4, dtype=np.float32)
+    est, res = _track_pair(pose, pose)
+    terr, rerr = _pose_err(est, pose)
+    assert terr < 1e-3
+    assert rerr < 0.1
+    assert float(res.icp_count) > 2000
+
+
+def test_small_translation():
+    pose0 = np.eye(4, dtype=np.float32)
+    pose1 = pose0.copy()
+    pose1[:3, 3] = [0.01, -0.005, 0.008]
+    est, res = _track_pair(pose0, pose1)
+    terr, rerr = _pose_err(est, pose1)
+    assert terr < 0.006, terr
+    assert rerr < 0.3, rerr
+
+
+def test_small_rotation_translation():
+    pose0 = np.eye(4, dtype=np.float32)
+    xi = jnp.array([0.008, 0.004, -0.006, 0.01, -0.008, 0.012])
+    pose1 = np.asarray(lie.se3_exp(xi)) @ pose0
+    est, res = _track_pair(pose0, pose1)
+    terr, rerr = _pose_err(est, pose1)
+    assert terr < 0.007, terr
+    assert rerr < 0.5, rerr
+
+
+def test_moderate_motion_orbit():
+    poses = synth.orbit_trajectory(8)
+    est, _ = _track_pair(poses[0], poses[4])
+    terr, rerr = _pose_err(est, poses[4])
+    # inter-frame motion of the orbit x4; still tracked well
+    assert terr < 0.012, terr
+    assert rerr < 1.0, rerr
+
+
+def test_divergence_guard():
+    """The estimate never moves more than 0.3 m from the previous pose —
+    the revert guard's invariant (RGBDOdometry.cpp:1232-1236)."""
+    pose0 = np.eye(4, dtype=np.float32)
+    pose1 = pose0.copy()
+    pose1[:3, 3] = [1.5, 0.0, 0.0]  # hopeless input
+    est, _ = _track_pair(pose0, pose1)
+    assert np.linalg.norm(est[:3, 3] - pose0[:3, 3]) <= 0.3 + 1e-6
+
+
+def test_icp_step_zero_at_ground_truth():
+    """At the true pose the ICP system's gradient b ~ 0."""
+    pose = np.eye(4, dtype=np.float32)
+    d, inten, pre = _make_frame(pose)
+    R = jnp.eye(3)
+    t = jnp.zeros(3)
+    res = icp_ops.icp_step(
+        R, t, R, t,
+        pre.vertex_filtered, pre.normal,
+        pre.vertex_filtered, pre.normal,
+        jnp.ones_like(d), INTR, CFG,
+    )
+    assert float(res.count) > 5000
+    nb = np.asarray(res.b)
+    nA = np.asarray(res.A)
+    # relative gradient magnitude tiny
+    assert np.abs(nb).max() < 1e-3 * np.abs(nA).max()
+
+
+def test_sobel_derivatives():
+    img = jnp.tile(jnp.arange(32, dtype=jnp.float32)[None, :] * 2.0, (24, 1))
+    dx, dy = pyramid.sobel_derivatives(img)
+    # reference kernel is left-minus-right: ramp of +2/px -> dIdx = -16
+    interior = np.asarray(dx)[2:-2, 2:-2]
+    np.testing.assert_allclose(interior, -16.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dy)[2:-2, 2:-2], 0.0, atol=1e-4)
+
+
+def test_pyr_down_depth_preserves_planes():
+    d = jnp.full((64, 64), 2.0)
+    down = pyramid.pyr_down_depth(d)
+    assert down.shape == (32, 32)
+    np.testing.assert_allclose(np.asarray(down), 2.0, atol=1e-5)
+
+
+def test_resize_map_normalize():
+    key = jax.random.PRNGKey(0)
+    n = jax.random.normal(key, (16, 16, 3))
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    down = pyramid.resize_map(n, normalize=True)
+    norms = np.linalg.norm(np.asarray(down), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
