@@ -37,15 +37,15 @@ def default_room(dtype=jnp.float32) -> Scene:
         [
             # floor y = +1.5 (camera y points down)
             [0.0, -1.0, 0.0, -1.5],
-            # ceiling y = -3
-            [0.0, 1.0, 0.0, -3.0],
-            # back wall z = 4
-            [0.0, 0.0, -1.0, -4.0],
-            # front wall z = -3
-            [0.0, 0.0, 1.0, -3.0],
-            # left x = -3, right x = 3
-            [1.0, 0.0, 0.0, -3.0],
-            [-1.0, 0.0, 0.0, -3.0],
+            # ceiling y = -2
+            [0.0, 1.0, 0.0, -2.0],
+            # back wall z = 3.2 (inside the reference's 3.5 m depth cutoff)
+            [0.0, 0.0, -1.0, -3.2],
+            # front wall z = -2
+            [0.0, 0.0, 1.0, -2.0],
+            # left x = -2.2, right x = 2.2
+            [1.0, 0.0, 0.0, -2.2],
+            [-1.0, 0.0, 0.0, -2.2],
         ],
         dtype=dtype,
     )

@@ -304,10 +304,10 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     safe_tgt = jnp.clip(win_tgt, 0, n_cap - 1)
 
     def scat(arr, vals):
+        # win_tgt == n_cap (dump slot) for non-winning pixels, so only the
+        # unique winner per surfel writes a live slot
         padded = jnp.concatenate([arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
-        padded = padded.at[win_tgt].set(jnp.where(
-            is_winner[(...,) + (None,) * (arr.ndim - 1)], vals.astype(arr.dtype),
-            padded[jnp.clip(win_tgt, 0, n_cap)]), mode="drop")
+        padded = padded.at[win_tgt].set(vals.astype(arr.dtype))
         return padded[:n_cap]
 
     new_pos = blend(m.pos[safe_tgt], fields["pos"])

@@ -1,0 +1,143 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from hrbffusion3d_tpu.config import CameraIntrinsics, small_test_config
+from hrbffusion3d_tpu.core import lie
+from hrbffusion3d_tpu.eval import synth
+from hrbffusion3d_tpu.map import surfel_map as sm
+from hrbffusion3d_tpu.ops import preprocess, pyramid
+
+INTR = CameraIntrinsics(fx=103.0, fy=103.0, cx=64.0, cy=48.0, width=128, height=96)
+CFG = small_test_config(map_capacity=1 << 15)
+
+
+def _measure(pose):
+    scene = synth.default_room()
+    depth, rgb = synth.render_frame(scene, jnp.asarray(pose), INTR)
+    pre = preprocess.vertex_normal_radius(depth, depth, INTR, CFG)
+    curv = preprocess.curvature_gradient(pre, INTR, CFG, chunk=4096)
+    pre = preprocess.update_normal_rad(pre, curv, CFG)
+    conf = preprocess.confidence_map(pre, curv, INTR, CFG)
+    return sm.measurement_from_preprocess(pre, curv, rgb, conf), depth
+
+
+def test_initialise():
+    meas, depth = _measure(np.eye(4, dtype=np.float32))
+    m = sm.initialise(CFG.map_capacity, meas, jnp.eye(4), CFG)
+    cnt = int(m.count)
+    assert cnt > 5000
+    assert bool(jnp.all(m.valid[:cnt])) and not bool(jnp.any(m.valid[cnt:]))
+    # world == camera frame for identity pose; depths match measurement
+    z = np.asarray(m.pos[:cnt, 2])
+    assert (z > 0.29).all() and (z <= CFG.depth_cutoff + 1e-5).all()
+    # radii positive, normals unit
+    assert (np.asarray(m.radius[:cnt]) > 0).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(m.normal[:cnt]), axis=-1), 1.0, atol=1e-3
+    )
+
+
+def test_render_index_roundtrip():
+    meas, depth = _measure(np.eye(4, dtype=np.float32))
+    m = sm.initialise(CFG.map_capacity, meas, jnp.eye(4), CFG)
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    iv = np.asarray(idx)
+    hit = iv >= 0
+    assert hit.mean() > 0.5
+    # the rendered surfel's depth approximates the measured depth
+    d = np.asarray(depth)
+    sz = np.asarray(m.pos)[iv[hit], 2]
+    close = np.abs(sz - d[hit]) < 0.05
+    assert close.mean() > 0.95
+
+
+def test_render_index_depth_test():
+    m = sm.empty_map(8)
+    # two surfels projecting to the same pixel; nearer one must win
+    m = m._replace(
+        pos=m.pos.at[0].set(jnp.array([0.0, 0.0, 2.0])).at[1].set(jnp.array([0.0, 0.0, 1.0])),
+        valid=m.valid.at[0].set(True).at[1].set(True),
+        count=jnp.int32(2),
+    )
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    assert int(idx[48, 64]) == 1
+
+
+def test_fuse_merges_not_grows():
+    pose = jnp.eye(4)
+    meas, _ = _measure(np.eye(4, dtype=np.float32))
+    m = sm.initialise(CFG.map_capacity, meas, pose, CFG, time=1)
+    c0 = int(m.count)
+    conf0 = float(jnp.sum(m.conf * m.valid))
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    m2 = sm.fuse(m, meas, pose, idx, INTR, CFG, time=1, submap_idx=0)
+    c1 = int(m2.count)
+    # same-frame refusion: nearly all checkerboard pixels merge
+    assert c1 - c0 < 0.02 * c0, (c0, c1)
+    assert float(jnp.sum(m2.conf * m2.valid)) > conf0
+
+
+def test_fuse_adds_new_on_novel_view():
+    posesA = np.eye(4, dtype=np.float32)
+    measA, _ = _measure(posesA)
+    m = sm.initialise(CFG.map_capacity, measA, jnp.asarray(posesA), CFG, time=1)
+    c0 = int(m.count)
+    # rotate camera: new region becomes visible
+    poseB = np.asarray(lie.se3_exp(jnp.array([0, 0, 0, 0.0, 0.5, 0.0])), np.float32)
+    measB, _ = _measure(poseB)
+    idx = sm.render_index(m, jnp.asarray(np.linalg.inv(poseB)), INTR)
+    m2 = sm.fuse(m, measB, jnp.asarray(poseB), idx, INTR, CFG, time=2, submap_idx=0)
+    assert int(m2.count) > c0 + 100
+
+
+def test_clean_kills_stale_unstable():
+    meas, _ = _measure(np.eye(4, dtype=np.float32))
+    m = sm.initialise(CFG.map_capacity, meas, jnp.eye(4), CFG, time=1)
+    c0 = int(m.count)
+    # all surfels have conf < threshold?? typical init conf ~<=1 each; set
+    # confidence threshold high so everything is 'unstable'
+    cfg = dataclasses.replace(CFG, confidence_threshold=100.0)
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    m2 = sm.clean(m, jnp.eye(4), idx, INTR, cfg, time=1 + cfg.unstable_time_limit + 10)
+    assert int(m2.count) == 0
+    # but recently-seen surfels survive
+    m3 = sm.clean(m, jnp.eye(4), idx, INTR, cfg, time=5)
+    assert int(m3.count) == c0
+
+
+def test_compact_preserves_data():
+    meas, _ = _measure(np.eye(4, dtype=np.float32))
+    m = sm.initialise(CFG.map_capacity, meas, jnp.eye(4), CFG)
+    keep = m.valid & (jnp.arange(CFG.map_capacity) % 2 == 0)
+    m2 = sm.compact(m, keep)
+    assert int(m2.count) == int(jnp.sum(keep))
+    # first kept surfel is old index 0
+    np.testing.assert_allclose(m2.pos[0], m.pos[0])
+    np.testing.assert_allclose(m2.pos[1], m.pos[2])
+
+
+def test_apply_submap_deltas():
+    m = sm.empty_map(4)
+    m = m._replace(
+        pos=jnp.array([[1.0, 0, 0], [0, 1, 0], [0, 0, 1], [2, 2, 2]]),
+        normal=jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1)),
+        submap=jnp.array([0, 1, 1, 0], jnp.int32),
+        valid=jnp.array([True, True, True, False]),
+        count=jnp.int32(3),
+    )
+    shift = jnp.eye(4).at[:3, 3].set(jnp.array([0.0, 0.0, 5.0]))
+    deltas = jnp.stack([jnp.eye(4), shift])
+    m2 = sm.apply_submap_deltas(m, deltas)
+    np.testing.assert_allclose(m2.pos[0], [1, 0, 0], atol=1e-6)      # submap 0: identity
+    np.testing.assert_allclose(m2.pos[1], [0, 1, 5], atol=1e-6)      # submap 1: +5z
+    np.testing.assert_allclose(m2.pos[3], [2, 2, 2], atol=1e-6)      # invalid untouched
+
+
+def test_fuse_respects_capacity():
+    cfg = dataclasses.replace(CFG, map_capacity=1000)
+    meas, _ = _measure(np.eye(4, dtype=np.float32))
+    m = sm.initialise(cfg.map_capacity, meas, jnp.eye(4), cfg)
+    assert int(m.count) == 1000
+    assert bool(jnp.all(m.valid))
