@@ -73,5 +73,8 @@ def mean_focal(intr: CameraIntrinsics) -> float:
 
 def max_radial_dist(intr: CameraIntrinsics) -> float:
     """Half-diagonal in pixels, used for radial confidence
-    (depth_confidence_evaluation.frag / HRBFFusion.cpp createCompute)."""
-    return float(jnp.sqrt((intr.width / 2.0) ** 2 + (intr.height / 2.0) ** 2))
+    (depth_confidence_evaluation.frag / HRBFFusion.cpp createCompute).
+    Pure-python math so it stays static under jit tracing."""
+    import math
+
+    return math.sqrt((intr.width / 2.0) ** 2 + (intr.height / 2.0) ** 2)

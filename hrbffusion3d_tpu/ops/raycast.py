@@ -1,0 +1,274 @@
+"""HRBF surface prediction: per-pixel ray cast of the on-the-fly implicit.
+
+TPU-native replacement for ``predict_hrbf.frag`` (311 LoC) driven by
+``IndexMap::predictHRBF`` (IndexMap.cpp:413-518), plus the FillIn composite
+passes (``Shaders/FillIn.cpp``, ``fill_vertex.frag``/``fill_rgb.frag``).
+
+Per pixel: gather <= K stable surfels from a (2*winMultiply+1)^2 window of
+the index map in ring order (frag:75-113), locate the point on the viewing
+ray closest to any neighbor (frag:134-142), bracket the zero crossing of the
+HRBF implicit with fixed 4 mm ladder steps in the direction given by
+sign(f) (frag:153-231), then bisect 10 iterations (frag:236-270).  The
+divergent forward/backward marching branches become one branchless ladder
+evaluation + masked first-crossing select — every VPU lane stays busy
+(SURVEY §7.3 hard part 3).
+
+Output maps (camera frame): vertex+conf, normal+radius, color, curvature,
+per-pixel ICP weight w = 1/z^2 (conf/256 + exp(-lambda^2 / 2 cmax^2))
+(frag:300-302).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraIntrinsics, SLAMConfig
+from ..core import camera
+from ..map.surfel_map import SurfelMap
+from . import hrbf
+
+
+def _ring_offsets(radius: int):
+    """Window offsets sorted by ring (Chebyshev distance), matching the
+    frag's ring-by-ring neighbor collection order."""
+    offs = [(dy, dx) for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)]
+    offs.sort(key=lambda o: (max(abs(o[0]), abs(o[1])), o[0], o[1]))
+    return offs
+
+
+class Prediction(NamedTuple):
+    vertex: jnp.ndarray      # (H,W,3) predicted surface point, camera frame
+    conf: jnp.ndarray        # (H,W)
+    normal: jnp.ndarray      # (H,W,3) unit, camera frame
+    radius: jnp.ndarray      # (H,W)
+    color: jnp.ndarray       # (H,W,3)
+    k1: jnp.ndarray          # (H,W)
+    k2: jnp.ndarray          # (H,W)
+    curv_dir1: jnp.ndarray   # (H,W,3)
+    curv_dir2: jnp.ndarray   # (H,W,3)
+    time: jnp.ndarray        # (H,W) int32 init time of nearest surfel
+    icp_weight: jnp.ndarray  # (H,W)
+    found: jnp.ndarray       # (H,W) bool
+
+
+def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
+                 intr: CameraIntrinsics, cfg: SLAMConfig,
+                 chunk: int = 8192) -> Prediction:
+    """Ray-cast the HRBF implicit through the rendered index map."""
+    h, w = intr.height, intr.width
+    P = h * w
+    K = cfg.predict_gather_k
+    R = cfg.predict_window_multiplier
+
+    # ---- neighbor gather: first K valid candidates in ring order ----
+    yy, xx = camera.pixel_grid(h, w)
+    yi = yy.reshape(P).astype(jnp.int32)
+    xi = xx.reshape(P).astype(jnp.int32)
+    flat_idx = index_map.reshape(P)
+
+    offs = _ring_offsets(R)
+    n_off = len(offs)
+    cand = jnp.zeros((P, n_off), jnp.int32)
+    for k, (dy, dx) in enumerate(offs):
+        vv = yi + dy
+        uu = xi + dx
+        inb = (vv >= 0) & (vv < h) & (uu >= 0) & (uu < w)
+        c = flat_idx[jnp.clip(vv, 0, h - 1) * w + jnp.clip(uu, 0, w - 1)]
+        cand = cand.at[:, k].set(jnp.where(inb, c, -1))
+
+    cs = jnp.clip(cand, 0, m.pos.shape[0] - 1)
+    Rr = pose_inv[:3, :3]
+    tt = pose_inv[:3, 3]
+    nb_pos = m.pos[cs] @ Rr.T + tt                 # camera frame (P, n_off, 3)
+    nb_nrm = m.normal[cs] @ Rr.T
+    nb_conf = m.conf[cs]
+
+    # stability filter (frag:94-99): z>0.1, |n|>0.1, conf>=thresh, n_z>0
+    ok = (
+        (cand >= 0)
+        & (nb_pos[..., 2] > 0.1)
+        & (jnp.sum(nb_nrm * nb_nrm, axis=-1) > 0.01)
+        & (nb_conf >= cfg.predict_conf_threshold)
+        & (nb_nrm[..., 2] > 0.0)
+    )
+
+    # first-K-valid in ring order via rank compaction
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=-1) - 1
+    sort_key = jnp.where(ok & (rank < K), rank, n_off + 1)
+    order = jnp.argsort(sort_key, axis=-1)[:, :K]
+    take = jnp.take_along_axis
+
+    sel_ok = take(sort_key, order, axis=1) <= n_off
+    sel_idx = take(cs, order, axis=1)
+    sel_pos = take(nb_pos, order[..., None], axis=1)
+    sel_nrm = take(nb_nrm, order[..., None], axis=1)
+    sel_rad = m.radius[sel_idx]
+    sel_conf = m.conf[sel_idx]
+    n_neighbors = jnp.sum(sel_ok, axis=-1)
+
+    # ---- viewing rays ----
+    xl = (xx.reshape(P) - intr.cx) / intr.fx
+    yl = (yy.reshape(P) - intr.cy) / intr.fy
+    ray = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
+    ray = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+
+    # closest neighbor projection onto the ray (frag:134-142)
+    proj = jnp.abs(jnp.einsum("pkc,pc->pk", sel_pos, ray))
+    proj = jnp.where(sel_ok, proj, 1e6)
+    t0 = jnp.min(proj, axis=-1)
+
+    steps = cfg.raycast_coarse_steps
+    step = cfg.raycast_coarse_step
+    n_lad = 2 * steps + 1
+    lad = (jnp.arange(n_lad, dtype=jnp.float32) - steps) * step  # (L,)
+
+    def block(args):
+        (b_ray, b_t0, b_pos, b_nrm, b_rad, b_ok, b_nn) = args
+        C = b_ray.shape[0]
+        ts = b_t0[:, None] + lad[None, :]                  # (C, L)
+        pts = ts[..., None] * b_ray[:, None, :]            # (C, L, 3)
+        f, nsupp = hrbf.hrbf_value(
+            pts, b_pos[:, None], b_nrm[:, None], b_rad[:, None], b_ok[:, None]
+        )                                                   # (C, L)
+        f0 = f[:, steps]
+        supp_ok = nsupp[:, steps] > cfg.predict_min_neighbors
+        enough = (b_nn > cfg.predict_min_neighbors) & supp_ok
+
+        # backward branch (f0 > 0): walk j = steps-1 .. 0, first f < 0
+        back = f[:, steps - 1::-1]                          # (C, steps) toward camera
+        bneg = back < 0
+        bfound = jnp.any(bneg, axis=-1)
+        bidx = jnp.argmax(bneg, axis=-1)                    # first True
+        t_lo_b = b_t0 - (bidx + 1) * step
+        t_hi_b = t_lo_b + step
+
+        # forward branch (f0 < 0): walk j = steps+1 .. end, first f > 0
+        fwd = f[:, steps + 1:]
+        fpos = fwd > 0
+        ffound = jnp.any(fpos, axis=-1)
+        fidx = jnp.argmax(fpos, axis=-1)
+        t_hi_f = b_t0 + (fidx + 1) * step
+        t_lo_f = t_hi_f - step
+
+        go_back = f0 > 0
+        found = enough & jnp.where(go_back, bfound, ffound)
+        t_lo = jnp.where(go_back, t_lo_b, t_lo_f)
+        t_hi = jnp.where(go_back, t_hi_b, t_hi_f)
+
+        # ---- bisection (frag:236-270) ----
+        def bis(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            pm = mid[:, None] * b_ray
+            fm, _ = hrbf.hrbf_value(pm, b_pos, b_nrm, b_rad, b_ok)
+            lo = jnp.where(fm < 0, mid, lo)
+            hi = jnp.where(fm < 0, hi, mid)
+            return lo, hi
+
+        t_lo, t_hi = jax.lax.fori_loop(0, cfg.raycast_bisection_iters, bis, (t_lo, t_hi))
+        t_surf = 0.5 * (t_lo + t_hi)
+        p_surf = t_surf[:, None] * b_ray
+        grad = hrbf.hrbf_gradient(p_surf, b_pos, b_nrm, b_rad, b_ok)
+        nrm = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-12)
+
+        # nearest neighbor for the remaining attributes (frag:282-299)
+        d2 = jnp.sum((p_surf[:, None, :] - b_pos) ** 2, axis=-1)
+        d2 = jnp.where(b_ok, d2, 1e12)
+        nearest = jnp.argmin(d2, axis=-1)
+        return p_surf, nrm, nearest, found
+
+    def padded(x, c):
+        pad = (-P) % c
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)).reshape(
+            (P + pad) // c, c, *x.shape[1:]
+        )
+
+    outs = jax.lax.map(
+        block,
+        (padded(ray, chunk), padded(t0, chunk), padded(sel_pos, chunk),
+         padded(sel_nrm, chunk), padded(sel_rad, chunk), padded(sel_ok, chunk),
+         padded(n_neighbors, chunk)),
+    )
+    p_surf, nrm, nearest, found = [o.reshape(-1, *o.shape[2:])[:P] for o in outs]
+
+    near_idx = take(sel_idx, nearest[:, None], axis=1)[:, 0]
+    near_ok = take(sel_ok, nearest[:, None], axis=1)[:, 0]
+    found = found & near_ok
+
+    conf = jnp.where(found, m.conf[near_idx], 0.0)
+    radius = jnp.where(found, m.radius[near_idx], 0.0)
+    color = jnp.where(found[:, None], m.color[near_idx], 0.0)
+    k1 = jnp.where(found, m.k1[near_idx], 1000.0)
+    k2 = jnp.where(found, m.k2[near_idx], 1000.0)
+    d1 = jnp.where(found[:, None], m.curv_dir1[near_idx] @ Rr.T, 0.0)
+    d2_ = jnp.where(found[:, None], m.curv_dir2[near_idx] @ Rr.T, 0.0)
+    itime = jnp.where(found, m.init_time[near_idx], 0)
+
+    lam = cfg.icp_curv_weight_lambda
+    cmax = jnp.maximum(jnp.abs(k1), jnp.abs(k2))
+    zz = jnp.maximum(p_surf[:, 2], 1e-6)
+    icp_w = jnp.where(
+        found,
+        (1.0 / (zz * zz)) * (conf / 256.0 + jnp.exp(-0.5 * lam * lam / jnp.maximum(cmax * cmax, 1e-12))),
+        0.0,
+    )
+
+    p_out = jnp.where(found[:, None], p_surf, 0.0)
+    n_out = jnp.where(found[:, None], nrm, 0.0)
+    return Prediction(
+        vertex=p_out.reshape(h, w, 3), conf=conf.reshape(h, w),
+        normal=n_out.reshape(h, w, 3), radius=radius.reshape(h, w),
+        color=color.reshape(h, w, 3),
+        k1=k1.reshape(h, w), k2=k2.reshape(h, w),
+        curv_dir1=d1.reshape(h, w, 3), curv_dir2=d2_.reshape(h, w, 3),
+        time=itime.reshape(h, w), icp_weight=icp_w.reshape(h, w),
+        found=found.reshape(h, w),
+    )
+
+
+class FilledPrediction(NamedTuple):
+    vertex: jnp.ndarray      # (H,W,3)
+    conf: jnp.ndarray
+    normal: jnp.ndarray
+    radius: jnp.ndarray
+    color: jnp.ndarray       # (H,W,3) rgb [0,1]
+    k1: jnp.ndarray
+    k2: jnp.ndarray
+    icp_weight: jnp.ndarray
+    from_model: jnp.ndarray  # (H,W) bool — density indicator (denseEnough)
+
+
+def fill_in(pred: Prediction, live_vertex: jnp.ndarray, live_normal: jnp.ndarray,
+            live_radius: jnp.ndarray, live_color: jnp.ndarray,
+            live_conf: jnp.ndarray, live_k1: jnp.ndarray, live_k2: jnp.ndarray,
+            cfg: SLAMConfig) -> FilledPrediction:
+    """FillIn composite (fill_vertex.frag / fill_rgb.frag / FillIn.cpp):
+    where the model prediction has holes, substitute the live frame's data
+    and recompute the per-pixel ICP weight from the live curvature."""
+    have = pred.found & (pred.vertex[..., 2] > 0)
+    t = cfg.curv_valid_threshold
+    live_curv_ok = (live_k1 > -t) & (live_k1 < t) & (live_k2 > -t) & (live_k2 < t)
+    lam = cfg.icp_curv_weight_lambda
+    cmax = jnp.maximum(jnp.abs(live_k1), jnp.abs(live_k2))
+    lz = jnp.maximum(live_vertex[..., 2], 1e-6)
+    live_w = jnp.where(
+        live_curv_ok & (live_vertex[..., 2] > 0),
+        (1.0 / (lz * lz)) * (live_conf / 256.0 + jnp.exp(-0.5 * lam * lam / jnp.maximum(cmax * cmax, 1e-12))),
+        0.0,
+    )
+    pick = have[..., None]
+    return FilledPrediction(
+        vertex=jnp.where(pick, pred.vertex, jnp.where(live_curv_ok[..., None], live_vertex, 0.0)),
+        conf=jnp.where(have, pred.conf, jnp.where(live_curv_ok, live_conf, 0.0)),
+        normal=jnp.where(pick, pred.normal, jnp.where(live_curv_ok[..., None], live_normal, 0.0)),
+        radius=jnp.where(have, pred.radius, live_radius),
+        color=jnp.where(pick, pred.color, live_color),
+        k1=jnp.where(have, pred.k1, live_k1),
+        k2=jnp.where(have, pred.k2, live_k2),
+        icp_weight=jnp.where(have, pred.icp_weight, live_w),
+        from_model=have,
+    )

@@ -1,0 +1,166 @@
+"""The SLAM engine: a pure functional ``step(state, frame) -> state``.
+
+TPU-native replacement for ``HRBFFusion::processFrame``
+(``Core/src/HRBFFusion.cpp:991-1241``) — the per-frame pipeline
+upload -> preprocess -> track -> fuse -> clean -> predict, with all mutexes,
+condvars, GL textures and CUDA-GL interop replaced by one jitted pure
+function over a ``SLAMState`` pytree.
+
+The sparse backend (keyframes / local BA / loop closure — HRBFFusion.cpp
+:1136-1188) hooks in between track and fuse via the ``backend`` package; the
+dense side only consumes its per-submap delta transforms
+(``apply_submap_deltas``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraIntrinsics, SLAMConfig
+from ..core import lie
+from ..map import surfel_map as sm
+from ..ops import preprocess, pyramid, raycast
+from ..tracking import odometry
+
+
+class SLAMState(NamedTuple):
+    map: sm.SurfelMap
+    R: jnp.ndarray                # (3,3) current pose (world <- camera)
+    t: jnp.ndarray                # (3,)
+    time: jnp.ndarray             # () int32 frame counter (tick)
+    submap_idx: jnp.ndarray       # () int32 current submap/keyframe index
+    prev_intensity: jnp.ndarray   # (H,W) previous live intensity (SO3)
+    pred_vertex: jnp.ndarray      # (H,W,3) prediction, current camera frame
+    pred_normal: jnp.ndarray
+    pred_intensity: jnp.ndarray   # (H,W) predicted grey
+    pred_icp_weight: jnp.ndarray  # (H,W)
+    last_icp_error: jnp.ndarray
+    last_icp_count: jnp.ndarray
+    dense_frac: jnp.ndarray       # () denseEnough indicator of last predict
+
+
+class FrameInput(NamedTuple):
+    depth: jnp.ndarray   # (H,W) metric depth (0 = invalid)
+    rgb: jnp.ndarray     # (H,W,3) in [0,1]
+
+
+def _preprocess(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig):
+    """HRBFFusion.cpp:1016-1022: filter -> metricise -> vertex/normal/radius
+    -> curvature/gradient -> update normal."""
+    depth_f = (
+        preprocess.bilateral_filter(frame.depth, cfg)
+        if cfg.use_bilateral_filter else frame.depth
+    )
+    pre = preprocess.vertex_normal_radius(frame.depth, depth_f, intr, cfg)
+    curv = preprocess.curvature_gradient(pre, intr, cfg)
+    pre = preprocess.update_normal_rad(pre, curv, cfg)
+    intensity = pyramid.rgb_to_intensity(frame.rgb)
+    return depth_f, pre, curv, intensity
+
+
+def bootstrap(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig,
+              init_pose: jnp.ndarray | None = None) -> SLAMState:
+    """First-frame initialisation (HRBFFusion.cpp:1026-1059)."""
+    pose = jnp.eye(4) if init_pose is None else jnp.asarray(init_pose)
+    depth_f, pre, curv, intensity = _preprocess(frame, intr, cfg)
+    conf = preprocess.confidence_map(pre, curv, intr, cfg, weighting=1.0)
+    meas = sm.measurement_from_preprocess(pre, curv, frame.rgb, conf)
+    m = sm.initialise(cfg.map_capacity, meas, pose, cfg, time=1, submap_idx=0)
+
+    pose_inv = lie.se3_inverse(pose)
+    idx = sm.render_index(m, pose_inv, intr)
+    pred = raycast.predict_hrbf(m, pose_inv, idx, intr, cfg)
+    filled = raycast.fill_in(
+        pred, pre.vertex_filtered, pre.normal, pre.radius, frame.rgb,
+        conf, curv.k1, curv.k2, cfg,
+    )
+    return SLAMState(
+        map=m, R=pose[:3, :3], t=pose[:3, 3],
+        time=jnp.int32(1), submap_idx=jnp.int32(0),
+        prev_intensity=intensity,
+        pred_vertex=filled.vertex, pred_normal=filled.normal,
+        pred_intensity=pyramid.rgb_to_intensity(filled.color),
+        pred_icp_weight=filled.icp_weight,
+        last_icp_error=jnp.float32(0), last_icp_count=jnp.float32(0),
+        dense_frac=jnp.mean(filled.from_model.astype(jnp.float32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def step(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
+         cfg: SLAMConfig) -> SLAMState:
+    """One tracked+fused frame (HRBFFusion.cpp:991-1241, BA hooks excluded)."""
+    time = state.time + 1
+    depth_f, pre, curv, intensity = _preprocess(frame, intr, cfg)
+
+    # ---- TRACKING (frame-to-model, l.1063-1109) ----
+    inp = odometry.build_inputs(
+        next_depth=depth_f,
+        next_intensity=intensity,
+        next_vmap=pre.vertex_filtered,
+        next_nmap=pre.normal,
+        pred_vmap=state.pred_vertex,
+        pred_nmap=state.pred_normal,
+        pred_intensity=state.pred_intensity,
+        icp_weight=state.pred_icp_weight,
+        prev_R=state.R, prev_t=state.t,
+        prev_intensity=state.prev_intensity,
+        cfg=cfg,
+    )
+    tr = odometry.track(state.R, state.t, inp, intr, cfg)
+    pose = lie.rt_to_mat(tr.R, tr.t)
+    pose_inv = lie.se3_inverse(pose)
+
+    # ---- velocity weighting (l.1112-1126): down-weight fast motion ----
+    dt = jnp.linalg.norm(tr.t - state.t)
+    w_rot = jnp.linalg.norm(lie.so3_log(state.R.T @ tr.R))
+    weighting = jnp.clip(1.0 - (dt * 5.0 + w_rot * 2.0), 0.25, 1.0)
+    conf = preprocess.confidence_map(pre, curv, intr, cfg, weighting=weighting)
+    meas = sm.measurement_from_preprocess(pre, curv, frame.rgb, conf)
+
+    # ---- FUSION (l.1192-1227) ----
+    idx = sm.render_index(state.map, pose_inv, intr)
+    m = sm.fuse(state.map, meas, pose, idx, intr, cfg, time=time,
+                submap_idx=state.submap_idx)
+    idx2 = sm.render_index(m, pose_inv, intr)
+    m = sm.clean(m, pose, idx2, intr, cfg, time=time)
+
+    # ---- PREDICTION (l.1233, predict() 1244-1260) ----
+    idx3 = sm.render_index(m, pose_inv, intr,
+                           conf_threshold=None)
+    pred = raycast.predict_hrbf(m, pose_inv, idx3, intr, cfg)
+    filled = raycast.fill_in(
+        pred, pre.vertex_filtered, pre.normal, pre.radius, frame.rgb,
+        conf, curv.k1, curv.k2, cfg,
+    )
+
+    return SLAMState(
+        map=m, R=tr.R, t=tr.t, time=time, submap_idx=state.submap_idx,
+        prev_intensity=intensity,
+        pred_vertex=filled.vertex, pred_normal=filled.normal,
+        pred_intensity=pyramid.rgb_to_intensity(filled.color),
+        pred_icp_weight=filled.icp_weight,
+        last_icp_error=tr.icp_error, last_icp_count=tr.icp_count,
+        dense_frac=jnp.mean(filled.from_model.astype(jnp.float32)),
+    )
+
+
+def run_sequence(frames, intr: CameraIntrinsics, cfg: SLAMConfig,
+                 init_pose=None):
+    """Host-side frame loop (MainController::run equivalent).  ``frames`` is
+    an iterable of FrameInput; returns (final state, poses (N,4,4))."""
+    import numpy as np
+
+    state = None
+    poses = []
+    for f in frames:
+        if state is None:
+            state = bootstrap(f, intr, cfg, init_pose)
+        else:
+            state = step(state, f, intr, cfg)
+        poses.append(np.asarray(lie.rt_to_mat(state.R, state.t)))
+    return state, np.stack(poses)

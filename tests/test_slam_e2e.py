@@ -1,0 +1,54 @@
+"""End-to-end frame-to-model SLAM on a synthetic sequence — the minimum
+viable slice of SURVEY §7.2 (M0-M4): tracking + fusion + HRBF prediction,
+ATE asserted against ground truth (BASELINE config 1 protocol, synthetic
+stand-in for TUM fr1/desk)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hrbffusion3d_tpu.config import CameraIntrinsics, small_test_config
+from hrbffusion3d_tpu.eval import ate, synth
+from hrbffusion3d_tpu.pipeline import slam
+
+INTR = CameraIntrinsics(fx=103.0, fy=103.0, cx=64.0, cy=48.0, width=128, height=96)
+CFG = small_test_config(
+    map_capacity=1 << 16,
+    pyramid_iterations=(10, 5, 4),
+    so3_iterations=10,
+    predict_conf_threshold=0.2,
+)
+
+
+def _frames(poses):
+    scene = synth.default_room()
+    for i in range(poses.shape[0]):
+        d, c = synth.render_frame_jit(scene, jnp.asarray(poses[i]), INTR)
+        yield slam.FrameInput(depth=d, rgb=c)
+
+
+def test_short_sequence_ate():
+    n = 25
+    gt = synth.orbit_trajectory(n, angle_per_frame=0.004)
+    state, est = slam.run_sequence(_frames(gt), INTR, CFG, init_pose=gt[0])
+    err = ate.ate_rmse(est, gt, align=False)
+    # frame-to-model tracking at 128x96 with the reference's curvature-
+    # weighted ICP: ~1.5 cm jitter, no systematic drift (unweighted ICP
+    # gives ~0.6 cm; the weighting emphasises high-curvature silhouettes)
+    assert err < 0.02, err
+    # map grew and stays bounded
+    cnt = int(state.map.count)
+    assert 3000 < cnt < CFG.map_capacity
+    # prediction covers most of the image by the end
+    assert float(state.dense_frac) > 0.5
+    # tracking found plenty of inliers at the last frame
+    assert float(state.last_icp_count) > 2000
+
+
+def test_static_camera_sequence():
+    """Static camera: pose must stay put and confidence must grow."""
+    gt = np.tile(np.eye(4, dtype=np.float32)[None], (6, 1, 1))
+    state, est = slam.run_sequence(_frames(gt), INTR, CFG, init_pose=gt[0])
+    err = ate.ate_rmse(est, gt, align=False)
+    assert err < 1e-3, err
+    conf_mean = float(jnp.sum(state.map.conf * state.map.valid) / state.map.count)
+    assert conf_mean > 0.5
