@@ -1,0 +1,60 @@
+"""Benchmark: full SLAM step throughput (track + fuse + clean + HRBF predict)
+at the reference's native 640x480 workload, on one TPU chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "fps",
+"vs_baseline": N}.  Baseline = the reference's 30 fps real-time design
+target on a desktop GPU (GUI/src/HRBF_fusion.cpp:237-240; the repo publishes
+no other numbers, BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hrbffusion3d_tpu.config import TUM1, SLAMConfig
+from hrbffusion3d_tpu.eval import synth
+from hrbffusion3d_tpu.pipeline import slam
+
+BASELINE_FPS = 30.0
+
+
+def main():
+    intr = TUM1  # 640x480
+    cfg = SLAMConfig(map_capacity=1 << 20, predict_conf_threshold=0.2)
+
+    scene = synth.default_room()
+    poses = synth.orbit_trajectory(8, angle_per_frame=0.004)
+    frames = []
+    for i in range(8):
+        d, c = synth.render_frame_jit(scene, jnp.asarray(poses[i]), intr)
+        frames.append(slam.FrameInput(depth=jax.block_until_ready(d), rgb=c))
+
+    state = slam.bootstrap(frames[0], intr, cfg, init_pose=poses[0])
+    jax.block_until_ready(state)
+
+    # warmup / compile
+    state = slam.step(state, frames[1], intr, cfg)
+    jax.block_until_ready(state)
+
+    n_iter = 20
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        state = slam.step(state, frames[2 + (i % 6)], intr, cfg)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    fps = n_iter / dt
+
+    print(json.dumps({
+        "metric": "slam_step_fps_640x480",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -239,6 +239,7 @@ def curvature_gradient(pre: VertexNormalRadius, intr: CameraIntrinsics,
         return k1, k2, d1, d2, gmag, gn, enough & kvalid
 
     npix = h * w
+    chunk = min(chunk, npix)
     pad = (-npix) % chunk
     def padded(x):
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)).reshape(

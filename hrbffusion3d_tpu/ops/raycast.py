@@ -181,6 +181,8 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
         nearest = jnp.argmin(d2, axis=-1)
         return p_surf, nrm, nearest, found
 
+    chunk = min(chunk, P)
+
     def padded(x, c):
         pad = (-P) % c
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)).reshape(

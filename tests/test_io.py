@@ -1,0 +1,73 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from hrbffusion3d_tpu.config import CameraIntrinsics, small_test_config
+from hrbffusion3d_tpu.eval import synth
+from hrbffusion3d_tpu.io import klg, ply, traj
+from hrbffusion3d_tpu.map import surfel_map as sm
+from hrbffusion3d_tpu.ops import preprocess
+
+
+def test_traj_tum_roundtrip(tmp_path):
+    poses = synth.orbit_trajectory(10).astype(np.float64)
+    ts = np.arange(10) * 0.033
+    p = str(tmp_path / "traj.freiburg")
+    traj.save_tum(p, ts, poses)
+    ts2, poses2 = traj.load_tum(p)
+    np.testing.assert_allclose(ts, ts2, atol=1e-5)
+    np.testing.assert_allclose(poses, poses2, atol=1e-5)
+
+
+def test_traj_zhou_roundtrip(tmp_path):
+    poses = synth.orbit_trajectory(5).astype(np.float64)
+    p = str(tmp_path / "traj.log")
+    traj.save_zhou(p, poses)
+    poses2 = traj.load_zhou(p)
+    np.testing.assert_allclose(poses, poses2, atol=1e-6)
+
+
+def test_quat_mat_roundtrip():
+    from hrbffusion3d_tpu.core import lie
+
+    R = np.asarray(lie.so3_exp(jnp.array([0.3, -0.5, 0.2])))
+    q = traj.mat_to_quat(R)
+    R2 = traj.quat_to_mat(q)
+    np.testing.assert_allclose(R, R2, atol=1e-6)
+
+
+def test_klg_roundtrip(tmp_path):
+    intr = CameraIntrinsics(fx=52.0, fy=52.0, cx=32.0, cy=24.0, width=64, height=48)
+    scene = synth.default_room()
+    poses = synth.orbit_trajectory(3)
+    ds, cs = [], []
+    for i in range(3):
+        d, c = synth.render_frame(scene, jnp.asarray(poses[i]), intr)
+        ds.append(np.asarray(d))
+        cs.append(np.asarray(c))
+    ds = np.stack(ds)
+    cs = np.stack(cs)
+    p = str(tmp_path / "seq.klg")
+    klg.write(p, ds, cs, depth_scale=1.0 / 5000.0)
+    frames = list(klg.frames(p, width=64, height=48, depth_scale=1.0 / 5000.0))
+    assert len(frames) == 3
+    np.testing.assert_allclose(frames[1].depth, ds[1], atol=1e-3)
+    np.testing.assert_allclose(frames[1].rgb, cs[1], atol=2 / 255)
+
+
+def test_ply_export(tmp_path):
+    intr = CameraIntrinsics(fx=52.0, fy=52.0, cx=32.0, cy=24.0, width=64, height=48)
+    cfg = small_test_config(map_capacity=1 << 13)
+    scene = synth.default_room()
+    depth, rgb = synth.render_frame(scene, jnp.eye(4), intr)
+    pre = preprocess.vertex_normal_radius(depth, depth, intr, cfg)
+    curv = preprocess.curvature_gradient(pre, intr, cfg, chunk=1024)
+    conf = preprocess.confidence_map(pre, curv, intr, cfg)
+    meas = sm.measurement_from_preprocess(pre, curv, rgb, conf)
+    m = sm.initialise(cfg.map_capacity, meas, jnp.eye(4), cfg)
+    p = str(tmp_path / "map.ply")
+    n = ply.save_ply(p, m)
+    assert n == int(m.count)
+    pos = ply.load_ply_positions(p)
+    np.testing.assert_allclose(pos, np.asarray(m.pos[:n]), atol=1e-5)
