@@ -1,0 +1,230 @@
+"""Sparse feature front-end: FAST corners + oriented BRIEF descriptors.
+
+TPU-native replacement for the reference's ``ORBextractor``/``ORBmatcher``
+(``Core/src/ORB_SLAM2_m/src/ORBextractor.cc`` ~1100 LoC,
+``ORBmatcher.cc`` ~1100 LoC): FAST-9 corner detection over an image pyramid,
+intensity-centroid orientation, rotation-steered 256-bit binary descriptors,
+and mutual-nearest Hamming matching via ``lax.population_count``.
+
+Differences from stock ORB (deliberate, TPU-first):
+  - static shapes: top-K corners per level (masked), no quadtree culling —
+    NMS + per-level top-k gives comparable spatial spread;
+  - the BRIEF sampling pattern is a deterministic pseudo-random pattern
+    (seeded, gaussian-distributed like BRIEF) rather than ORB's learned
+    pattern — descriptors are only ever matched against descriptors from
+    this same extractor, so the pattern choice only affects
+    discriminability, not compatibility.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# FAST circle of radius 3 (16 pixels, standard Bresenham order)
+_FAST_OFFSETS = np.array([
+    (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+    (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-3 + 1, 3),
+], np.int32)
+# fix last entry: standard 16th is (-1, 3)
+_FAST_OFFSETS[15] = (-1, 3)
+
+
+def _shift2d(img, dy, dx):
+    """Shift with zero fill (keeps shapes static)."""
+    out = jnp.roll(img, (dy, dx), axis=(0, 1))
+    h, w = img.shape
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    ok = (yy >= dy) & (yy < h + dy) & (xx >= dx) & (xx < w + dx)
+    return jnp.where(ok, out, 0.0)
+
+
+def fast_score(img: jnp.ndarray, threshold: float = 20.0):
+    """FAST-9 corner response: (H,W) score, 0 where not a corner."""
+    center = img
+    ring = jnp.stack([_shift2d(img, int(-dy), int(-dx)) for dy, dx in _FAST_OFFSETS],
+                     axis=-1)  # ring[y,x,k] = img[y+dy, x+dx]
+    brighter = ring > (center[..., None] + threshold)
+    darker = ring < (center[..., None] - threshold)
+
+    def contiguous9(mask):
+        # any window of 9 consecutive (cyclic) all-true
+        m = jnp.concatenate([mask, mask[..., :8]], axis=-1)
+        acc = jnp.ones_like(mask[..., :16], dtype=bool)
+        for k in range(9):
+            acc = acc & m[..., k:k + 16]
+        return jnp.any(acc, axis=-1)
+
+    is_corner = contiguous9(brighter) | contiguous9(darker)
+    diff = jnp.abs(ring - center[..., None])
+    score = jnp.sum(jnp.where(brighter | darker, diff, 0.0), axis=-1)
+    # exclude the 3-px border (the ring would sample the zero fill)
+    h, w = img.shape
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    inb = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    return jnp.where(is_corner & inb, score, 0.0)
+
+
+def _nms3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-max suppression."""
+    neigh = jnp.stack([_shift2d(score, dy, dx)
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)], axis=-1)
+    return jnp.where(score >= jnp.max(neigh, axis=-1), score, 0.0)
+
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray      # (N,2) float (x, y) at level-0 scale
+    score: jnp.ndarray   # (N,)
+    angle: jnp.ndarray   # (N,) radians
+    level: jnp.ndarray   # (N,) int32
+    desc: jnp.ndarray    # (N,8) uint32 packed 256-bit descriptors
+    valid: jnp.ndarray   # (N,) bool
+
+
+def _orientation(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
+                 radius: int = 7):
+    """Intensity-centroid angle (ORBextractor IC_Angle)."""
+    m01 = jnp.zeros_like(ys, dtype=jnp.float32)
+    m10 = jnp.zeros_like(ys, dtype=jnp.float32)
+    h, w = img.shape
+    flat = img.reshape(-1)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx * dx + dy * dy > radius * radius:
+                continue
+            vy = jnp.clip(ys + dy, 0, h - 1)
+            vx = jnp.clip(xs + dx, 0, w - 1)
+            val = flat[vy * w + vx]
+            m01 = m01 + dy * val
+            m10 = m10 + dx * val
+    return jnp.arctan2(m01, m10)
+
+
+@functools.lru_cache()
+def _brief_pattern(n_bits: int = 256, patch: int = 31, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    sigma = patch / 5.0
+    pts = np.clip(rng.normal(0, sigma, (n_bits, 4)), -(patch // 2), patch // 2)
+    return jnp.asarray(pts.astype(np.float32))  # (256,4) = (x1,y1,x2,y2)
+
+
+def _descriptors(img: jnp.ndarray, ys, xs, angle):
+    """Rotation-steered 256-bit BRIEF, packed into (N,8) uint32."""
+    pat = _brief_pattern()
+    ca = jnp.cos(angle)[:, None]
+    sa = jnp.sin(angle)[:, None]
+    x1 = pat[None, :, 0] * ca - pat[None, :, 1] * sa + xs[:, None]
+    y1 = pat[None, :, 0] * sa + pat[None, :, 1] * ca + ys[:, None]
+    x2 = pat[None, :, 2] * ca - pat[None, :, 3] * sa + xs[:, None]
+    y2 = pat[None, :, 2] * sa + pat[None, :, 3] * ca + ys[:, None]
+    h, w = img.shape
+    flat = img.reshape(-1)
+
+    def sample(yf, xf):
+        yi = jnp.clip(jnp.round(yf).astype(jnp.int32), 0, h - 1)
+        xi = jnp.clip(jnp.round(xf).astype(jnp.int32), 0, w - 1)
+        return flat[yi * w + xi]
+
+    bits = (sample(y1, x1) < sample(y2, x2)).astype(jnp.uint32)  # (N,256)
+    words = bits.reshape(bits.shape[0], 8, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def _gauss_blur(img: jnp.ndarray) -> jnp.ndarray:
+    """7x7 separable Gaussian (ORB blurs before describing)."""
+    k = jnp.array([0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125])
+    out = img
+    for axis in (0, 1):
+        acc = jnp.zeros_like(out)
+        for i, kv in enumerate(list(np.asarray(k))):
+            acc = acc + kv * jnp.roll(out, i - 3, axis=axis)
+        out = acc
+    return out
+
+
+def detect_and_describe(intensity: jnp.ndarray, n_per_level: int = 256,
+                        n_levels: int = 4, scale_factor: float = 1.5,
+                        threshold: float = 20.0) -> Keypoints:
+    """ORBextractor::operator() equivalent: pyramid FAST + NMS + top-k per
+    level, orientation, steered BRIEF.  Output is a fixed-size masked set of
+    n_per_level * n_levels keypoints with level-0 coordinates."""
+    img = intensity
+    all_out = []
+    scale = 1.0
+    for lvl in range(n_levels):
+        h, w = img.shape
+        sc = _nms3(fast_score(img, threshold))
+        # mask image borders (descriptor patch)
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+        border = 20
+        sc = jnp.where((yy >= border) & (yy < h - border)
+                       & (xx >= border) & (xx < w - border), sc, 0.0)
+        flat = sc.reshape(-1)
+        k = min(n_per_level, flat.shape[0])
+        val, idx = jax.lax.top_k(flat, k)
+        ys = idx // w
+        xs = idx % w
+        ok = val > 0
+        blur = _gauss_blur(img)
+        ang = _orientation(blur, ys, xs)
+        desc = _descriptors(blur, ys, xs, ang)
+        xy0 = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
+        all_out.append((xy0, val, ang, jnp.full((k,), lvl, jnp.int32), desc, ok))
+        # next level
+        if lvl + 1 < n_levels:
+            nh = int(round(h / scale_factor))
+            nw = int(round(w / scale_factor))
+            yi = jnp.clip(jnp.round(jnp.arange(nh) * scale_factor).astype(jnp.int32), 0, h - 1)
+            xi = jnp.clip(jnp.round(jnp.arange(nw) * scale_factor).astype(jnp.int32), 0, w - 1)
+            img = _gauss_blur(img)[yi][:, xi]
+            scale *= scale_factor
+
+    xy = jnp.concatenate([o[0] for o in all_out])
+    score = jnp.concatenate([o[1] for o in all_out])
+    ang = jnp.concatenate([o[2] for o in all_out])
+    lvl = jnp.concatenate([o[3] for o in all_out])
+    desc = jnp.concatenate([o[4] for o in all_out])
+    ok = jnp.concatenate([o[5] for o in all_out])
+    return Keypoints(xy=xy, score=score, angle=ang, level=lvl, desc=desc, valid=ok)
+
+
+def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """(N1,8)x(N2,8) packed descriptors -> (N1,N2) Hamming distances."""
+    x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+class Matches(NamedTuple):
+    idx2: jnp.ndarray    # (N1,) best match in set 2
+    dist: jnp.ndarray    # (N1,)
+    valid: jnp.ndarray   # (N1,) mutual + ratio + threshold checks
+
+
+def match(k1: Keypoints, k2: Keypoints, max_dist: int = 50,
+          ratio: float = 0.8) -> Matches:
+    """Mutual-nearest descriptor matching with Lowe ratio (the semantics of
+    ORBmatcher::SearchByBoW / TH_LOW=50 and mfNNratio)."""
+    D = hamming_matrix(k1.desc, k2.desc)
+    big = jnp.int32(10_000)
+    D = jnp.where(k1.valid[:, None] & k2.valid[None, :], D, big)
+    best = jnp.argmin(D, axis=1)
+    dmin = jnp.min(D, axis=1)
+    D2 = D.at[jnp.arange(D.shape[0]), best].set(big)
+    d2nd = jnp.min(D2, axis=1)
+    # mutual check
+    back = jnp.argmin(D, axis=0)
+    mutual = back[best] == jnp.arange(D.shape[0])
+    valid = (
+        k1.valid & (dmin <= max_dist) & mutual
+        & (dmin.astype(jnp.float32) < ratio * d2nd.astype(jnp.float32))
+    )
+    return Matches(idx2=best, dist=dmin, valid=valid)
