@@ -177,7 +177,24 @@ def detect_and_describe(intensity: jnp.ndarray, n_per_level: int = 256,
         blur = _gauss_blur(img)
         ang = _orientation(blur, ys, xs)
         desc = _descriptors(blur, ys, xs, ang)
-        xy0 = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1) * scale
+        # sub-pixel refinement: parabola fit on the raw FAST response
+        # (reduces the ~0.5 px quantisation that dominates the BA
+        # information budget at low resolutions)
+        raw = fast_score(img, threshold)
+        rflat = raw.reshape(-1)
+
+        def _sub(axis_stride):
+            sm = rflat[jnp.clip(idx - axis_stride, 0, h * w - 1)]
+            sp = rflat[jnp.clip(idx + axis_stride, 0, h * w - 1)]
+            s0 = rflat[idx]
+            denom = sm - 2.0 * s0 + sp
+            off = 0.5 * (sm - sp) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1e-6)
+            return jnp.clip(off, -0.5, 0.5)
+
+        dx_off = _sub(1)
+        dy_off = _sub(w)
+        xy0 = jnp.stack([xs.astype(jnp.float32) + dx_off,
+                         ys.astype(jnp.float32) + dy_off], -1) * scale
         all_out.append((xy0, val, ang, jnp.full((k,), lvl, jnp.int32), desc, ok))
         # next level
         if lvl + 1 < n_levels:

@@ -64,9 +64,12 @@ def _texture(p: jnp.ndarray) -> jnp.ndarray:
     """Procedural 3-D texture -> rgb in [0,1]; multi-octave so the
     photometric Gauss-Newton term sees strong gradients at every pyramid
     level (TUM-like image gradient statistics)."""
-    # Frequencies kept <= ~10 rad/m so the image-space period stays >= ~8 px
-    # at the coarsest pyramid level (no aliasing / false photometric minima),
-    # with large amplitudes for strong gradients.
+    # Two components: band-limited sinusoids (frequencies <= ~10 rad/m so the
+    # image-space period stays >= ~8 px at the coarsest pyramid level — no
+    # aliasing / false photometric minima) + a sharp cell-hash block pattern
+    # whose cell vertices give well-localised FAST corners for the sparse
+    # front-end (real indoor scenes have poster/book edges; pure sinusoids
+    # have none, which makes corner detection unrepeatable).
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
     r = (0.5 + 0.25 * jnp.sin(7.0 * x) * jnp.cos(5.0 * z) + 0.12 * jnp.sin(3.0 * y)
          + 0.18 * jnp.sin(9.5 * x + 1.7 * z))
@@ -74,7 +77,13 @@ def _texture(p: jnp.ndarray) -> jnp.ndarray:
          + 0.18 * jnp.cos(8.5 * y + 2.0 * x))
     b = (0.5 + 0.25 * jnp.cos(8.0 * z + 0.7) * jnp.sin(5.0 * y)
          + 0.18 * jnp.sin(9.0 * (x + y)))
-    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+    smooth = jnp.stack([r, g, b], axis=-1)
+
+    cell = jnp.floor(p / 0.3)
+    h1 = jnp.sin(cell[..., 0] * 12.9898 + cell[..., 1] * 78.233 + cell[..., 2] * 37.719)
+    blocks = (h1 * 43758.5453) % 1.0
+    mixed = 0.65 * smooth + 0.35 * blocks[..., None]
+    return jnp.clip(mixed, 0.0, 1.0)
 
 
 def render_frame(scene: Scene, pose_wc: jnp.ndarray, intr: CameraIntrinsics):

@@ -1,0 +1,83 @@
+"""Keyframe backend tests: landmark association across keyframes and local
+BA correcting a drifty pose (the LocalMapping + UpdateDenseGlobalModel
+contract)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hrbffusion3d_tpu.backend.keyframes import SparseBackend
+from hrbffusion3d_tpu.config import CameraIntrinsics, small_test_config
+from hrbffusion3d_tpu.core import lie
+from hrbffusion3d_tpu.eval import synth
+from hrbffusion3d_tpu.ops import pyramid
+
+INTR = CameraIntrinsics(fx=103.0, fy=103.0, cx=64.0, cy=48.0, width=128, height=96)
+CFG = small_test_config()
+
+
+def _frame(pose):
+    scene = synth.default_room()
+    d, rgb = synth.render_frame(scene, jnp.asarray(pose), INTR)
+    return d, pyramid.rgb_to_intensity(rgb)
+
+
+def test_keyframe_cadence():
+    be = SparseBackend(INTR, CFG)
+    assert be.need_new_keyframe(1)
+    d, i = _frame(np.eye(4, dtype=np.float32))
+    be.insert_keyframe(i, d, np.eye(4, dtype=np.float32), time=1)
+    assert not be.need_new_keyframe(5)
+    assert be.need_new_keyframe(11)
+
+
+def test_landmark_association_across_keyframes():
+    be = SparseBackend(INTR, CFG, fast_threshold=8.0)
+    poses = synth.orbit_trajectory(30)
+    for k, t in enumerate([1, 11, 21]):
+        pose = poses[t - 1].astype(np.float32)
+        d, i = _frame(pose)
+        be.insert_keyframe(i, d, pose, time=t)
+    assert len(be.keyframes) == 3
+    shared = [lid for lid, obs in be.lm_obs.items() if len(obs) >= 2]
+    assert len(shared) > 20, len(shared)
+    # landmarks land where the scene is (inside the room, in front)
+    pts = np.stack([be.landmarks[lid] for lid in shared])
+    assert (np.abs(pts[:, 0]) < 3).all() and (pts[:, 2] < 4).all()
+
+
+def test_local_ba_corrects_drifted_pose():
+    be = SparseBackend(INTR, CFG, fast_threshold=8.0, local_window=4)
+    poses = synth.orbit_trajectory(40)
+    gt_used = []
+    # drift well above the ~2 cm keypoint-localisation noise floor at this
+    # tiny test resolution (1 px ~ 2 cm at 2 m with fx=103)
+    drift = np.asarray(lie.se3_exp(jnp.array([0.06, -0.05, 0.04, 0.01, -0.015, 0.012])))
+    for k, t in enumerate([1, 11, 21, 31]):
+        gt_pose = poses[t - 1].astype(np.float32)
+        gt_used.append(gt_pose)
+        est_pose = gt_pose if k < 3 else (drift @ gt_pose).astype(np.float32)
+        d, i = _frame(gt_pose)  # observations come from the TRUE pose
+        be.insert_keyframe(i, d, est_pose, time=t)
+    before = np.linalg.norm(be.keyframes[3].pose[:3, 3] - gt_used[3][:3, 3])
+    deltas = be.local_ba()
+    assert deltas is not None
+    after = np.linalg.norm(be.keyframes[3].pose[:3, 3] - gt_used[3][:3, 3])
+    assert before > 0.05
+    assert after < 0.5 * before, (before, after)
+    # deltas: identity for fixed KFs, the correction for the drifted one
+    np.testing.assert_allclose(deltas[0], np.eye(4), atol=1e-5)
+    assert np.linalg.norm(deltas[3][:3, 3]) > 0.005
+
+
+def test_covisibility_and_active_mask():
+    be = SparseBackend(INTR, CFG, fast_threshold=8.0)
+    poses = synth.orbit_trajectory(30)
+    for k, t in enumerate([1, 11, 21]):
+        pose = poses[t - 1].astype(np.float32)
+        d, i = _frame(pose)
+        be.insert_keyframe(i, d, pose, time=t)
+    cov = be.covisible_keyframes(2, min_shared=5)
+    assert len(cov) >= 1
+    mask = be.active_submap_mask(2, max_submaps=10)
+    assert mask[2]
+    assert mask.sum() >= 2
