@@ -15,6 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hrbffusion3d_tpu.utils import tpu_cache
+
+tpu_cache.enable()
+
 from hrbffusion3d_tpu.config import TUM1, SLAMConfig
 from hrbffusion3d_tpu.eval import synth
 from hrbffusion3d_tpu.pipeline import slam

@@ -1,0 +1,115 @@
+"""Full SLAM system: dense frame-to-model pipeline + sparse keyframe
+backend + dense-map correction.
+
+This is the complete ``HRBFFusion::processFrame`` including the keyframe/BA
+sync block (HRBFFusion.cpp:1136-1188): the reference's condvar-synchronised
+LocalMapping thread becomes an explicit host-side call between tracking and
+the next frame; the per-submap delta transforms it produces are applied to
+the dense map (UpdateDenseGlobalModel -> GlobalModel::updateModel) and to
+the stored trajectory (HRBFFusion.cpp:457-497).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..backend.keyframes import SparseBackend
+from ..config import CameraIntrinsics, SLAMConfig
+from ..core import lie
+from ..map import surfel_map as sm
+from ..ops import preprocess, pyramid
+from . import slam
+
+
+class FullSLAM:
+    """MainController + HRBFFusion equivalent (host loop; device math jitted)."""
+
+    def __init__(self, intr: CameraIntrinsics, cfg: SLAMConfig,
+                 backend_kwargs: dict | None = None, init_pose=None):
+        self.intr = intr
+        self.cfg = cfg
+        self.init_pose = init_pose
+        self.state: slam.SLAMState | None = None
+        self.backend = SparseBackend(intr, cfg, **(backend_kwargs or {}))
+        self.trajectory: list[np.ndarray] = []
+        self.timestamps: list[float] = []
+        self.kf_of_frame: list[int] = []
+
+    # ------------------------------------------------------------------ #
+    def _kf_inputs(self, frame: slam.FrameInput):
+        depth_f = (
+            preprocess.bilateral_filter(frame.depth, self.cfg)
+            if self.cfg.use_bilateral_filter else frame.depth
+        )
+        intensity = pyramid.rgb_to_intensity(frame.rgb)
+        return intensity, depth_f
+
+    def process(self, frame: slam.FrameInput, timestamp: float = 0.0) -> np.ndarray:
+        """One frame; returns the current pose (4,4)."""
+        cfg = self.cfg
+        if self.state is None:
+            self.state = slam.bootstrap(frame, self.intr, cfg,
+                                        init_pose=self.init_pose)
+            pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
+            if cfg.use_local_ba:
+                intensity, depth_f = self._kf_inputs(frame)
+                kf_id = self.backend.insert_keyframe(
+                    intensity, depth_f, pose, time=int(self.state.time))
+                self.state = self.state._replace(submap_idx=jnp.int32(kf_id))
+        else:
+            self.state = slam.step(self.state, frame, self.intr, cfg)
+            pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
+            time = int(self.state.time)
+
+            if cfg.use_local_ba and self.backend.need_new_keyframe(time):
+                intensity, depth_f = self._kf_inputs(frame)
+                kf_id = self.backend.insert_keyframe(intensity, depth_f, pose, time)
+                self.state = self.state._replace(submap_idx=jnp.int32(kf_id))
+                deltas = self.backend.local_ba()
+                if deltas is not None:
+                    self._apply_correction(deltas, kf_id)
+                    pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
+
+        self.trajectory.append(pose)
+        self.timestamps.append(timestamp)
+        self.kf_of_frame.append(len(self.backend.keyframes) - 1)
+        return pose
+
+    # ------------------------------------------------------------------ #
+    def _apply_correction(self, deltas: np.ndarray, current_kf: int):
+        """UpdateDenseGlobalModel: per-submap rigid correction of the dense
+        map, the live pose, and the recorded trajectory."""
+        pad = np.tile(np.eye(4, dtype=np.float32),
+                      (self.cfg.max_submaps, 1, 1))
+        pad[: deltas.shape[0]] = deltas
+        self.state = self.state._replace(
+            map=sm.apply_submap_deltas(self.state.map, jnp.asarray(pad))
+        )
+        # live pose rides with its keyframe's correction
+        d = deltas[current_kf]
+        pose = d @ np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
+        self.state = self.state._replace(
+            R=jnp.asarray(pose[:3, :3]), t=jnp.asarray(pose[:3, 3])
+        )
+        # rewrite trajectory between keyframes (HRBFFusion.cpp:457-497)
+        for i in range(len(self.trajectory)):
+            kf = self.kf_of_frame[i]
+            if 0 <= kf < deltas.shape[0]:
+                self.trajectory[i] = (deltas[kf] @ self.trajectory[i]).astype(np.float32)
+
+    # ------------------------------------------------------------------ #
+    def poses(self) -> np.ndarray:
+        return np.stack(self.trajectory) if self.trajectory else np.zeros((0, 4, 4))
+
+    def save_trajectory_tum(self, path: str):
+        from ..io import traj
+
+        traj.save_tum(path, self.timestamps, self.poses())
+
+    def save_map_ply(self, path: str, conf_threshold: float = 0.0) -> int:
+        from ..io import ply
+
+        return ply.save_ply(path, self.state.map, conf_threshold)
