@@ -44,11 +44,13 @@ def main():
     state = slam.step(state, frames[1], intr, cfg)
     jax.block_until_ready(state)
 
-    n_iter = 20
+    n_iter = 10
     t0 = time.perf_counter()
     for i in range(n_iter):
         state = slam.step(state, frames[2 + (i % 6)], intr, cfg)
-    jax.block_until_ready(state)
+    # hard sync via host transfer (block_until_ready proved unreliable on
+    # the axon remote-execution path)
+    _ = np.asarray(state.t)
     dt = time.perf_counter() - t0
     fps = n_iter / dt
 

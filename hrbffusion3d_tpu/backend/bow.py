@@ -65,7 +65,7 @@ class BowDatabase:
         if idx < 1:
             return np.zeros((0,))
         db = np.stack(self.vectors[:idx])
-        scores = np.asarray(l1_score(jnp.asarray(self.vectors[idx]), jnp.asarray(db)))
+        scores = np.array(l1_score(jnp.asarray(self.vectors[idx]), jnp.asarray(db)))
         cut = max(0, idx - exclude_recent)
         scores[cut:] = -1.0
         return scores
