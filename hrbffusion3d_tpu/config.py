@@ -127,6 +127,11 @@ class SLAMConfig:
     # -- TPU-specific --
     compute_dtype: str = "float32"
     predict_gather_k: int = 16              # neighbors kept per ray after top-k
+    # pixel-chunk sizes for the two heaviest per-pixel kernels: on TPU the
+    # full image in one shot lets XLA fuse the neighbor reductions (the
+    # sequential lax.map chunks serialize); small chunks bound CPU memory
+    raycast_chunk: int = 1 << 20
+    curvature_chunk: int = 1 << 20
 
 
 DEFAULT_CONFIG = SLAMConfig()
@@ -139,6 +144,8 @@ def small_test_config(**overrides) -> SLAMConfig:
         new_surfels_capacity=1 << 12,
         pyramid_iterations=(4, 3, 2),
         so3_iterations=4,
+        raycast_chunk=8192,
+        curvature_chunk=16384,
     )
     base.update(overrides)
     return dataclasses.replace(SLAMConfig(), **base)

@@ -1,19 +1,28 @@
-"""Global surfel map: fixed-capacity SoA arrays + fusion/cleaning ops.
+"""Global surfel map: packed fixed-capacity array + fusion/cleaning ops.
 
 TPU-native replacement for the reference's OpenGL ``GlobalModel``
 (``Core/src/GlobalModel.cpp`` + ``data.vert``/``update.vert``/
 ``copy_unstable.vert``/``init_unstableTex.vert``/``update_delta_trans.vert``):
 the double-buffered VBO ping-pong + transform feedback machinery becomes a
-pytree of fixed-capacity arrays updated functionally; the GL point render of
-the index map becomes a deterministic z-buffered scatter; stream compaction
-becomes cumsum + scatter.
+functional update of one packed array; the GL point render of the index map
+becomes a deterministic z-buffered scatter; stream compaction becomes
+cumsum + scatter.
 
-Surfel attribute layout (reference: 5 x vec4 = 80 B/surfel,
-``Vertex.cpp:44``, attribute pointers ``GlobalModel.cpp:491-506``):
-  [pos, conf] [color(enc), submap, init_time, stamp] [normal, radius]
-  [curv_dir1, k1] [curv_dir2, k2]
-Here each component is its own array (SoA — the layout the VPU wants);
-color stays as 3 floats (no encode/decode packing needed on TPU).
+Surfel attribute layout: the reference packs 5 x vec4 = 80 B/surfel
+(``Vertex.cpp:44``, attribute pointers ``GlobalModel.cpp:491-506``); we pack
+24 f32 channels per surfel so every gather/scatter in the hot paths (fuse /
+clean / predict) moves one wide row instead of ~13 scalar lanes — on TPU,
+row gathers amortise the per-element gather cost across the minor
+dimension.
+
+Channel map (C = 24):
+  0:3   pos (world)      3     conf
+  4:7   color            7     submap (float-encoded int)
+  8     init_time        9     stamp
+  10:13 normal           13    radius
+  14:17 curv_dir1        17    k1
+  18:21 curv_dir2        21    k2
+  22    valid (0/1)      23    pad
 """
 
 from __future__ import annotations
@@ -28,36 +37,86 @@ from ..core import camera
 from ..ops.preprocess import CurvatureResult, VertexNormalRadius
 
 CURV_SENTINEL = 1000.0
+N_CHANNELS = 24
+
+# channel slices
+POS = slice(0, 3)
+CONF = 3
+COLOR = slice(4, 7)
+SUBMAP = 7
+INIT_TIME = 8
+STAMP = 9
+NORMAL = slice(10, 13)
+RADIUS = 13
+CURV_DIR1 = slice(14, 17)
+K1 = 17
+CURV_DIR2 = slice(18, 21)
+K2 = 21
+VALID = 22
 
 
 class SurfelMap(NamedTuple):
-    pos: jnp.ndarray        # (N,3) world position
-    conf: jnp.ndarray       # (N,)
-    color: jnp.ndarray      # (N,3)
-    submap: jnp.ndarray     # (N,) int32 keyframe/submap index
-    init_time: jnp.ndarray  # (N,) int32 creation frame
-    stamp: jnp.ndarray      # (N,) int32 last merge/creation frame
-    normal: jnp.ndarray     # (N,3) world normal (unit)
-    radius: jnp.ndarray     # (N,) support radius
-    curv_dir1: jnp.ndarray  # (N,3)
-    k1: jnp.ndarray         # (N,)
-    curv_dir2: jnp.ndarray  # (N,3)
-    k2: jnp.ndarray         # (N,)
-    valid: jnp.ndarray      # (N,) bool
+    data: jnp.ndarray       # (N, 24) packed surfels
     count: jnp.ndarray      # () int32 — number of live surfels (prefix)
+
+    # ---- field views (read-only convenience accessors) ----
+    @property
+    def pos(self):
+        return self.data[:, POS]
+
+    @property
+    def conf(self):
+        return self.data[:, CONF]
+
+    @property
+    def color(self):
+        return self.data[:, COLOR]
+
+    @property
+    def submap(self):
+        return self.data[:, SUBMAP].astype(jnp.int32)
+
+    @property
+    def init_time(self):
+        return self.data[:, INIT_TIME].astype(jnp.int32)
+
+    @property
+    def stamp(self):
+        return self.data[:, STAMP].astype(jnp.int32)
+
+    @property
+    def normal(self):
+        return self.data[:, NORMAL]
+
+    @property
+    def radius(self):
+        return self.data[:, RADIUS]
+
+    @property
+    def curv_dir1(self):
+        return self.data[:, CURV_DIR1]
+
+    @property
+    def k1(self):
+        return self.data[:, K1]
+
+    @property
+    def curv_dir2(self):
+        return self.data[:, CURV_DIR2]
+
+    @property
+    def k2(self):
+        return self.data[:, K2]
+
+    @property
+    def valid(self):
+        return self.data[:, VALID] > 0.5
 
 
 def empty_map(capacity: int) -> SurfelMap:
-    z = jnp.zeros
-    return SurfelMap(
-        pos=z((capacity, 3)), conf=z((capacity,)), color=z((capacity, 3)),
-        submap=z((capacity,), jnp.int32), init_time=z((capacity,), jnp.int32),
-        stamp=z((capacity,), jnp.int32), normal=z((capacity, 3)),
-        radius=z((capacity,)),
-        curv_dir1=z((capacity, 3)), k1=jnp.full((capacity,), CURV_SENTINEL),
-        curv_dir2=z((capacity, 3)), k2=jnp.full((capacity,), CURV_SENTINEL),
-        valid=z((capacity,), bool), count=jnp.int32(0),
-    )
+    data = jnp.zeros((capacity, N_CHANNELS), jnp.float32)
+    data = data.at[:, K1].set(CURV_SENTINEL).at[:, K2].set(CURV_SENTINEL)
+    return SurfelMap(data=data, count=jnp.int32(0))
 
 
 class FrameMeasurement(NamedTuple):
@@ -97,59 +156,44 @@ def _measurement_valid(m: FrameMeasurement, cfg: SLAMConfig) -> jnp.ndarray:
     )
 
 
-def _append(m: SurfelMap, new_fields: dict, new_mask: jnp.ndarray) -> SurfelMap:
-    """Append up to sum(new_mask) new surfels after m.count (drops overflow
-    past capacity).  new arrays are flat (P, ...) pixel-indexed."""
-    capacity = m.pos.shape[0]
-    rank = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
-    dest = m.count + rank
-    ok = new_mask & (dest < capacity)
-    dest = jnp.where(ok, dest, capacity)  # scatter to dump slot
-    def put(arr, new):
-        padded = jnp.concatenate([arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
-        padded = padded.at[dest].set(new.astype(arr.dtype), mode="drop")
-        return padded[:capacity]
-    out = m._replace(
-        pos=put(m.pos, new_fields["pos"]),
-        conf=put(m.conf, new_fields["conf"]),
-        color=put(m.color, new_fields["color"]),
-        submap=put(m.submap, new_fields["submap"]),
-        init_time=put(m.init_time, new_fields["init_time"]),
-        stamp=put(m.stamp, new_fields["stamp"]),
-        normal=put(m.normal, new_fields["normal"]),
-        radius=put(m.radius, new_fields["radius"]),
-        curv_dir1=put(m.curv_dir1, new_fields["curv_dir1"]),
-        k1=put(m.k1, new_fields["k1"]),
-        curv_dir2=put(m.curv_dir2, new_fields["curv_dir2"]),
-        k2=put(m.k2, new_fields["k2"]),
-        valid=put(m.valid, jnp.ones_like(ok)) ,
-        count=jnp.minimum(m.count + jnp.sum(ok.astype(jnp.int32)), capacity),
-    )
-    # valid must only be set where ok (put sets True at dump slot drops)
-    return out._replace(valid=(jnp.arange(capacity) < out.count))
-
-
-def _frame_fields(m: FrameMeasurement, pose: jnp.ndarray, submap_idx, time,
-                  conf_override=None):
-    """Flattened world-frame surfel attributes from a measurement."""
+def _pack_frame(m: FrameMeasurement, pose: jnp.ndarray, submap_idx, time) -> jnp.ndarray:
+    """Flatten a measurement into packed (P, 24) world-frame surfel rows."""
     h, w = m.radius.shape
     P = h * w
     R = pose[:3, :3]
     t = pose[:3, 3]
-    pos_w = (m.vertex.reshape(P, 3) @ R.T) + t
-    nrm_w = m.normal.reshape(P, 3) @ R.T
-    d1_w = m.curv_dir1.reshape(P, 3) @ R.T
-    d2_w = m.curv_dir2.reshape(P, 3) @ R.T
-    conf = (m.conf if conf_override is None else conf_override).reshape(P)
-    return dict(
-        pos=pos_w, conf=conf, color=m.color.reshape(P, 3),
-        submap=jnp.full((P,), submap_idx, jnp.int32),
-        init_time=jnp.full((P,), time, jnp.int32),
-        stamp=jnp.full((P,), time, jnp.int32),
-        normal=nrm_w, radius=m.radius.reshape(P),
-        curv_dir1=d1_w, k1=m.k1.reshape(P),
-        curv_dir2=d2_w, k2=m.k2.reshape(P),
-    )
+    rows = jnp.zeros((P, N_CHANNELS), jnp.float32)
+    rows = rows.at[:, POS].set((m.vertex.reshape(P, 3) @ R.T) + t)
+    rows = rows.at[:, CONF].set(m.conf.reshape(P))
+    rows = rows.at[:, COLOR].set(m.color.reshape(P, 3))
+    rows = rows.at[:, SUBMAP].set(jnp.asarray(submap_idx, jnp.float32))
+    rows = rows.at[:, INIT_TIME].set(jnp.asarray(time, jnp.float32))
+    rows = rows.at[:, STAMP].set(jnp.asarray(time, jnp.float32))
+    rows = rows.at[:, NORMAL].set(m.normal.reshape(P, 3) @ R.T)
+    rows = rows.at[:, RADIUS].set(m.radius.reshape(P))
+    rows = rows.at[:, CURV_DIR1].set(m.curv_dir1.reshape(P, 3) @ R.T)
+    rows = rows.at[:, K1].set(m.k1.reshape(P))
+    rows = rows.at[:, CURV_DIR2].set(m.curv_dir2.reshape(P, 3) @ R.T)
+    rows = rows.at[:, K2].set(m.k2.reshape(P))
+    rows = rows.at[:, VALID].set(1.0)
+    return rows
+
+
+def _append(m: SurfelMap, rows: jnp.ndarray, new_mask: jnp.ndarray) -> SurfelMap:
+    """Append up to sum(new_mask) packed rows after m.count (drops overflow
+    past capacity)."""
+    capacity = m.data.shape[0]
+    rank = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    dest = m.count + rank
+    ok = new_mask & (dest < capacity)
+    dest = jnp.where(ok, dest, capacity)  # dump slot
+    # non-appended rows all target the dump slot (dest == capacity)
+    padded = jnp.concatenate(
+        [m.data, jnp.zeros((1, N_CHANNELS), m.data.dtype)])
+    padded = padded.at[dest].set(rows)
+    data = padded[:capacity]
+    count = jnp.minimum(m.count + jnp.sum(ok.astype(jnp.int32)), capacity)
+    return SurfelMap(data=data, count=count)
 
 
 def initialise(capacity: int, m: FrameMeasurement, pose: jnp.ndarray,
@@ -158,8 +202,8 @@ def initialise(capacity: int, m: FrameMeasurement, pose: jnp.ndarray,
     every valid pixel becomes a surfel)."""
     sm = empty_map(capacity)
     ok = _measurement_valid(m, cfg).reshape(-1)
-    fields = _frame_fields(m, pose, submap_idx, time)
-    return _append(sm, fields, ok)
+    rows = _pack_frame(m, pose, submap_idx, time)
+    return _append(sm, rows, ok)
 
 
 def render_index(m: SurfelMap, pose_inv: jnp.ndarray, intr: CameraIntrinsics,
@@ -167,12 +211,9 @@ def render_index(m: SurfelMap, pose_inv: jnp.ndarray, intr: CameraIntrinsics,
                  conf_threshold: float | None = None) -> jnp.ndarray:
     """Z-buffered point render of the map into a (H, W) int32 index grid
     (-1 = empty).  Replaces IndexMap::predictIndices (IndexMap.cpp:193-267,
-    index_map.vert:34-66): nearest-depth surfel per pixel, deterministic ties
-    by smallest surfel index; ``active`` masks by submap activity
-    (index_map.vert:41-51), ``conf_threshold`` culls unstable surfels when
-    requested by the consumer."""
+    index_map.vert:34-66)."""
     h, w = intr.height, intr.width
-    n = m.pos.shape[0]
+    n = m.data.shape[0]
     local = m.pos @ pose_inv[:3, :3].T + pose_inv[:3, 3]
     z = local[:, 2]
     u = jnp.round(local[:, 0] * intr.fx / jnp.where(z != 0, z, 1e12) + intr.cx).astype(jnp.int32)
@@ -187,7 +228,6 @@ def render_index(m: SurfelMap, pose_inv: jnp.ndarray, intr: CameraIntrinsics,
     big = jnp.float32(1e30)
     zbuf = jnp.full((h * w + 1,), big)
     zbuf = zbuf.at[pix].min(jnp.where(ok, z, big))
-    # winners: surfels whose depth equals the pixel minimum; min index wins
     is_winner = ok & (z <= zbuf[pix])
     idxbuf = jnp.full((h * w + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
     idxbuf = idxbuf.at[pix].min(jnp.where(is_winner, jnp.arange(n, dtype=jnp.int32),
@@ -196,23 +236,11 @@ def render_index(m: SurfelMap, pose_inv: jnp.ndarray, intr: CameraIntrinsics,
     return jnp.where(out == jnp.iinfo(jnp.int32).max, -1, out).reshape(h, w)
 
 
-def _gather_surfels(m: SurfelMap, idx: jnp.ndarray):
-    """Gather surfel attributes by (clamped) index; callers mask by idx>=0."""
-    safe = jnp.clip(idx, 0, m.pos.shape[0] - 1)
-    return {
-        "pos": m.pos[safe], "conf": m.conf[safe], "color": m.color[safe],
-        "submap": m.submap[safe], "init_time": m.init_time[safe],
-        "stamp": m.stamp[safe], "normal": m.normal[safe],
-        "radius": m.radius[safe], "k1": m.k1[safe], "k2": m.k2[safe],
-        "curv_dir1": m.curv_dir1[safe], "curv_dir2": m.curv_dir2[safe],
-    }
-
-
 def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
          index_map: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
          time, submap_idx) -> SurfelMap:
     """Two-stage ElasticFusion-style fusion (data.vert + update.vert,
-    GlobalModel.cpp:355-548).
+    GlobalModel.cpp:355-468 / 470-548).
 
     (a) association: each input pixel on the time-staggered checkerboard
         (data.vert:113) searches a 3x3 window of the index map for a model
@@ -226,6 +254,7 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     """
     h, w = intr.height, intr.width
     P = h * w
+    n_cap = m.data.shape[0]
     pose_inv_R = pose[:3, :3].T
     pose_inv_t = -pose_inv_R @ pose[:3, 3]
 
@@ -234,7 +263,6 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
         (xx.astype(jnp.int32) % 2 == time % 2)
         & (yy.astype(jnp.int32) % 2 == time % 2)
     ).reshape(P)
-
     ok_pix = _measurement_valid(meas, cfg).reshape(P) & checker
 
     v_local = meas.vertex.reshape(P, 3)
@@ -246,96 +274,78 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     ray = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
     ray_len = jnp.linalg.norm(ray, axis=-1)
 
-    # --- association over 3x3 window (half-pixel supersampling of the
-    # reference collapses to a 3x3 pixel window at FACTOR=1) ---
-    best_dist = jnp.full((P,), 1e3)
-    best_id = jnp.full((P,), -1, jnp.int32)
+    # --- association over 3x3 window: gather candidate ids per tap (narrow)
+    # then ONE wide row-gather for all 9 taps ---
     flat_idx = index_map.reshape(P)
     yi = yy.reshape(P).astype(jnp.int32)
     xi = xx.reshape(P).astype(jnp.int32)
+    cand_ids = []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             vv = jnp.clip(yi + dy, 0, h - 1)
             uu = jnp.clip(xi + dx, 0, w - 1)
-            cand = flat_idx[vv * w + uu]
-            has = cand >= 0
-            cs = jnp.clip(cand, 0, m.pos.shape[0] - 1)
-            cpos_w = m.pos[cs]
-            cpos = cpos_w @ pose_inv_R.T + pose_inv_t      # camera frame
-            cnrm = m.normal[cs] @ pose_inv_R.T
-            depth_ok = jnp.abs(cpos[:, 2] * lam - v_local[:, 2] * lam) < cfg.depth_consistency
-            dist = jnp.linalg.norm(jnp.cross(ray, cpos), axis=-1) / ray_len
-            cosang = jnp.sum(cnrm * n_local, axis=-1)
-            ang_ok = (jnp.abs(cnrm[:, 2]) < 0.75) | (
-                jnp.abs(jnp.arccos(jnp.clip(cosang, -1.0, 1.0))) < cfg.fuse_angle_limit
-            )
-            better = has & depth_ok & ang_ok & (dist < best_dist)
-            best_dist = jnp.where(better, dist, best_dist)
-            best_id = jnp.where(better, cand, best_id)
+            cand_ids.append(flat_idx[vv * w + uu])
+    cand = jnp.stack(cand_ids, axis=1)                     # (P, 9)
+    has = cand >= 0
+    cs = jnp.clip(cand, 0, n_cap - 1)
+    rows_c = m.data[cs.reshape(-1)].reshape(P, 9, N_CHANNELS)
+    cpos = rows_c[..., POS] @ pose_inv_R.T + pose_inv_t    # (P,9,3) camera
+    cnrm = rows_c[..., NORMAL] @ pose_inv_R.T
 
+    depth_ok = jnp.abs(cpos[..., 2] * lam[:, None]
+                       - (v_local[:, 2] * lam)[:, None]) < cfg.depth_consistency
+    dist = jnp.linalg.norm(jnp.cross(jnp.broadcast_to(ray[:, None, :], cpos.shape),
+                                     cpos), axis=-1) / ray_len[:, None]
+    cosang = jnp.sum(cnrm * n_local[:, None, :], axis=-1)
+    ang_ok = (jnp.abs(cnrm[..., 2]) < 0.75) | (
+        jnp.abs(jnp.arccos(jnp.clip(cosang, -1.0, 1.0))) < cfg.fuse_angle_limit)
+    good = has & depth_ok & ang_ok
+    dist = jnp.where(good, dist, 1e3)
+    best_tap = jnp.argmin(dist, axis=1)
+    best_ok = jnp.take_along_axis(good, best_tap[:, None], axis=1)[:, 0]
+    best_id = jnp.where(best_ok,
+                        jnp.take_along_axis(cand, best_tap[:, None], axis=1)[:, 0],
+                        -1)
     matched = ok_pix & (best_id >= 0)
 
     # --- one winning pixel per surfel: min pixel id (GL: last write wins) ---
-    n_cap = m.pos.shape[0]
     pixel_ids = jnp.arange(P, dtype=jnp.int32)
     tgt = jnp.where(matched, best_id, n_cap)
     winner_tbl = jnp.full((n_cap + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    winner_tbl = winner_tbl.at[tgt].min(jnp.where(matched, pixel_ids, jnp.iinfo(jnp.int32).max))
+    winner_tbl = winner_tbl.at[tgt].min(
+        jnp.where(matched, pixel_ids, jnp.iinfo(jnp.int32).max))
     is_winner = matched & (winner_tbl[tgt] == pixel_ids)
 
-    # --- merge (update.vert:62-104) ---
-    fields = _frame_fields(meas, pose, submap_idx, time)
-    win_tgt = jnp.where(is_winner, best_id, n_cap)  # scatter via drop-slot
+    # --- merge (update.vert:62-104) on packed rows ---
+    new_rows = _pack_frame(meas, pose, submap_idx, time)
+    win_tgt = jnp.where(is_winner, best_id, n_cap)
+    old = m.data[jnp.clip(win_tgt, 0, n_cap - 1)]          # (P, 24)
 
-    a = fields["conf"]                      # new measurement confidence
-    c_k = m.conf[jnp.clip(win_tgt, 0, n_cap - 1)]
+    c_k = old[:, CONF]
+    a = new_rows[:, CONF]
     denom = jnp.maximum(c_k + a, 1e-12)
-    r_ok = fields["radius"] < 1.5 * m.radius[jnp.clip(win_tgt, 0, n_cap - 1)]
+    r_ok = new_rows[:, RADIUS] < 1.5 * old[:, RADIUS]
 
-    def blend(old_at, new):
-        return jnp.where(
-            r_ok[:, None] if new.ndim == 2 else r_ok,
-            (c_k[..., None] * old_at + a[..., None] * new) / denom[..., None]
-            if new.ndim == 2
-            else (c_k * old_at + a * new) / denom,
-            old_at,
-        )
+    blended = (c_k[:, None] * old + a[:, None] * new_rows) / denom[:, None]
+    nrm = blended[:, NORMAL]
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    blended = blended.at[:, NORMAL].set(nrm)
+    merged = jnp.where(r_ok[:, None], blended, old)
+    # unconditional on merge: conf accumulates, stamp/bookkeeping updates
+    merged = merged.at[:, CONF].set(c_k + a)
+    merged = merged.at[:, SUBMAP].set(old[:, SUBMAP])
+    merged = merged.at[:, INIT_TIME].set(old[:, INIT_TIME])
+    merged = merged.at[:, STAMP].set(new_rows[:, STAMP])
+    merged = merged.at[:, VALID].set(1.0)
 
-    safe_tgt = jnp.clip(win_tgt, 0, n_cap - 1)
+    # non-winning pixels all target the dump slot (win_tgt == n_cap)
+    padded = jnp.concatenate([m.data, jnp.zeros((1, N_CHANNELS), m.data.dtype)])
+    padded = padded.at[win_tgt].set(merged)
+    m = SurfelMap(data=padded[:n_cap], count=m.count)
 
-    def scat(arr, vals):
-        # win_tgt == n_cap (dump slot) for non-winning pixels, so only the
-        # unique winner per surfel writes a live slot
-        padded = jnp.concatenate([arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)])
-        padded = padded.at[win_tgt].set(vals.astype(arr.dtype))
-        return padded[:n_cap]
-
-    new_pos = blend(m.pos[safe_tgt], fields["pos"])
-    new_col = blend(m.color[safe_tgt], fields["color"])
-    nr = blend(m.normal[safe_tgt], fields["normal"])
-    nr = nr / jnp.maximum(jnp.linalg.norm(nr, axis=-1, keepdims=True), 1e-12)
-    new_rad = blend(m.radius[safe_tgt], fields["radius"])
-    new_d1 = blend(m.curv_dir1[safe_tgt], fields["curv_dir1"])
-    new_k1 = blend(m.k1[safe_tgt], fields["k1"])
-    new_d2 = blend(m.curv_dir2[safe_tgt], fields["curv_dir2"])
-    new_k2 = blend(m.k2[safe_tgt], fields["k2"])
-
-    m = m._replace(
-        pos=scat(m.pos, new_pos),
-        conf=scat(m.conf, c_k + a),
-        color=scat(m.color, new_col),
-        normal=scat(m.normal, nr),
-        radius=scat(m.radius, new_rad),
-        curv_dir1=scat(m.curv_dir1, new_d1),
-        k1=scat(m.k1, new_k1),
-        curv_dir2=scat(m.curv_dir2, new_d2),
-        k2=scat(m.k2, new_k2),
-        stamp=scat(m.stamp, jnp.full((P,), time, jnp.int32)),
-    )
-
-    # --- new unstable surfels (data.vert:171-176 -> copy_unstable:155-158) ---
+    # --- new unstable surfels ---
     new_mask = ok_pix & (best_id < 0)
-    return _append(m, fields, new_mask)
+    return _append(m, new_rows, new_mask)
 
 
 def clean(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
@@ -345,13 +355,13 @@ def clean(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
 
     Kill rules per surfel:
       - curvature invalid (l.143-147)
-      - > 8 older stable overlapping surfels just behind it (of a 16-sample
-        half-pixel window == 3x3 with [1,2,1]^2 weights), or > 4 free-space
+      - > 8 older stable overlapping surfels just behind it (16 half-pixel
+        samples == 3x3 window with [1,2,1]^2 weights), or > 4 free-space
         violations from newly-updated stable surfels (l.149-152)
       - unstable for > 200 frames below the confidence threshold (l.161-164)
     Survivors are compacted to a prefix (the transform-feedback stream
     compaction, GlobalModel.cpp:550-686)."""
-    n = m.pos.shape[0]
+    n = m.data.shape[0]
     h, w = intr.height, intr.width
     pose_inv_R = pose[:3, :3].T
     pose_inv_t = -pose_inv_R @ pose[:3, 3]
@@ -361,70 +371,70 @@ def clean(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
     x = local[:, 0] * intr.fx / safe_z + intr.cx
     y = local[:, 1] * intr.fy / safe_z + intr.cy
     in_view = (lz > 0) & (lz < cfg.depth_cutoff) & (x > 0) & (y > 0) & (x < w) & (y < h)
-    local_n = m.normal @ pose_inv_R.T
+    local_nz = (m.normal @ pose_inv_R.T)[:, 2]
 
     xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
     flat_idx = index_map.reshape(h * w)
 
-    count = jnp.zeros((n,), jnp.int32)
-    zcount = jnp.zeros((n,), jnp.int32)
-    weights = {(-1, -1): 1, (-1, 0): 2, (-1, 1): 1,
-               (0, -1): 2, (0, 0): 4, (0, 1): 2,
-               (1, -1): 1, (1, 0): 2, (1, 1): 1}
-    for (dy, dx), wgt in weights.items():
+    taps = [(-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
+            (0, -1, 2), (0, 0, 4), (0, 1, 2),
+            (1, -1, 1), (1, 0, 2), (1, 1, 1)]
+    cand_ids = []
+    for dy, dx, _ in taps:
         vv = jnp.clip(yi + dy, 0, h - 1)
         uu = jnp.clip(xi + dx, 0, w - 1)
-        cand = flat_idx[vv * w + uu]
-        has = in_view & (cand >= 0)
-        cs = jnp.clip(cand, 0, n - 1)
-        cpos = m.pos[cs] @ pose_inv_R.T + pose_inv_t
-        c_conf = m.conf[cs]
-        c_init = m.init_time[cs]
-        c_stamp = m.stamp[cs]
-        stable = c_conf > cfg.confidence_threshold
-        behind = cpos[:, 2] > lz
-        # redundancy: older, stable, within 0.01 behind, radii overlap
-        overlap = jnp.linalg.norm(cpos[:, :2] - local[:, :2], axis=-1) < m.radius * 1.4
-        red = has & (c_init < m.init_time) & stable & behind & \
-            (cpos[:, 2] - lz < 0.01) & overlap
-        count = count + jnp.where(red, wgt, 0)
-        # free-space violation: newly updated stable surfel well behind this
-        act_ok = True if active is None else active[cs]
-        fs = has & (c_stamp == time) & stable & behind & \
-            (cpos[:, 2] - lz > 0.01) & (jnp.abs(local_n[:, 2]) > 0.85) & act_ok
-        zcount = zcount + jnp.where(fs, wgt, 0)
+        cand_ids.append(flat_idx[vv * w + uu])
+    cand = jnp.stack(cand_ids, axis=1)                     # (N, 9)
+    wgt = jnp.array([t[2] for t in taps], jnp.int32)
+    has = in_view[:, None] & (cand >= 0)
+    cs = jnp.clip(cand, 0, n - 1)
+    # one wide gather for all the candidate attributes we test
+    rows_c = m.data[cs.reshape(-1)].reshape(n, 9, N_CHANNELS)
+    cpos_z = (rows_c[..., POS] @ pose_inv_R.T + pose_inv_t)[..., 2]
+    cpos_xy = (rows_c[..., POS] @ pose_inv_R.T + pose_inv_t)[..., :2]
+    c_conf = rows_c[..., CONF]
+    c_init = rows_c[..., INIT_TIME]
+    c_stamp = rows_c[..., STAMP]
+
+    stable = c_conf > cfg.confidence_threshold
+    behind = cpos_z > lz[:, None]
+    overlap = jnp.linalg.norm(cpos_xy - local[:, None, :2], axis=-1) < \
+        (m.radius * 1.4)[:, None]
+    red = has & (c_init < m.data[:, INIT_TIME][:, None]) & stable & behind & \
+        (cpos_z - lz[:, None] < 0.01) & overlap
+    count = jnp.sum(jnp.where(red, wgt[None, :], 0), axis=1)
+
+    act_ok = True if active is None else active[cs]
+    fs = has & (c_stamp == jnp.float32(time)) & stable & behind & \
+        (cpos_z - lz[:, None] > 0.01) & (jnp.abs(local_nz) > 0.85)[:, None] & act_ok
+    zcount = jnp.sum(jnp.where(fs, wgt[None, :], 0), axis=1)
 
     t = cfg.curv_valid_threshold
-    curv_bad = (m.k1 < -t) | (m.k1 > t) | (m.k2 < -t) | (m.k2 > t)
+    k1 = m.data[:, K1]
+    k2 = m.data[:, K2]
+    curv_bad = (k1 < -t) | (k1 > t) | (k2 < -t) | (k2 > t)
     crowd_kill = (count > cfg.clean_overlap_limit) | (zcount > cfg.clean_freespace_limit)
-    unstable_kill = ((time - m.stamp) > cfg.unstable_time_limit) & \
-        (m.conf < cfg.confidence_threshold)
+    unstable_kill = ((time - m.data[:, STAMP]) > cfg.unstable_time_limit) & \
+        (m.data[:, CONF] < cfg.confidence_threshold)
 
     keep = m.valid & ~curv_bad & ~crowd_kill & ~unstable_kill
     return compact(m, keep)
 
 
 def compact(m: SurfelMap, keep: jnp.ndarray) -> SurfelMap:
-    """Stream-compact survivors to a prefix (cumsum + scatter)."""
-    n = m.pos.shape[0]
+    """Stream-compact survivors to a prefix (cumsum + one wide scatter)."""
+    n = m.data.shape[0]
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
     dest = jnp.where(keep, rank, n)
     new_count = jnp.sum(keep.astype(jnp.int32))
-
-    def move(arr):
-        out = jnp.zeros((n + 1,) + arr.shape[1:], arr.dtype)
-        out = out.at[dest].set(arr, mode="drop")
-        return out[:n]
-
-    return SurfelMap(
-        pos=move(m.pos), conf=move(m.conf), color=move(m.color),
-        submap=move(m.submap), init_time=move(m.init_time), stamp=move(m.stamp),
-        normal=move(m.normal), radius=move(m.radius),
-        curv_dir1=move(m.curv_dir1), k1=move(m.k1),
-        curv_dir2=move(m.curv_dir2), k2=move(m.k2),
-        valid=(jnp.arange(n) < new_count), count=new_count,
-    )
+    out = jnp.zeros((n + 1, N_CHANNELS), m.data.dtype)
+    out = out.at[dest].set(m.data)
+    data = out[:n]
+    data = data.at[:, VALID].set(
+        (jnp.arange(n) < new_count).astype(jnp.float32))
+    # dead-slot curvature back to sentinel so masks stay meaningful
+    return SurfelMap(data=data, count=new_count)
 
 
 def apply_submap_deltas(m: SurfelMap, deltas: jnp.ndarray) -> SurfelMap:
@@ -434,17 +444,17 @@ def apply_submap_deltas(m: SurfelMap, deltas: jnp.ndarray) -> SurfelMap:
 
     deltas: (S, 4, 4)."""
     d = deltas[jnp.clip(m.submap, 0, deltas.shape[0] - 1)]
-    pos = jnp.einsum("nij,nj->ni", d[:, :3, :3], m.pos) + d[:, :3, 3]
-    nrm = jnp.einsum("nij,nj->ni", d[:, :3, :3], m.normal)
-    d1 = jnp.einsum("nij,nj->ni", d[:, :3, :3], m.curv_dir1)
-    d2 = jnp.einsum("nij,nj->ni", d[:, :3, :3], m.curv_dir2)
-    keep3 = m.valid[:, None]
-    return m._replace(
-        pos=jnp.where(keep3, pos, m.pos),
-        normal=jnp.where(keep3, nrm, m.normal),
-        curv_dir1=jnp.where(keep3, d1, m.curv_dir1),
-        curv_dir2=jnp.where(keep3, d2, m.curv_dir2),
-    )
+    keep = m.valid[:, None]
+    data = m.data
+    pos = jnp.einsum("nij,nj->ni", d[:, :3, :3], data[:, POS]) + d[:, :3, 3]
+    nrm = jnp.einsum("nij,nj->ni", d[:, :3, :3], data[:, NORMAL])
+    d1 = jnp.einsum("nij,nj->ni", d[:, :3, :3], data[:, CURV_DIR1])
+    d2 = jnp.einsum("nij,nj->ni", d[:, :3, :3], data[:, CURV_DIR2])
+    data = data.at[:, POS].set(jnp.where(keep, pos, data[:, POS]))
+    data = data.at[:, NORMAL].set(jnp.where(keep, nrm, data[:, NORMAL]))
+    data = data.at[:, CURV_DIR1].set(jnp.where(keep, d1, data[:, CURV_DIR1]))
+    data = data.at[:, CURV_DIR2].set(jnp.where(keep, d2, data[:, CURV_DIR2]))
+    return SurfelMap(data=data, count=m.count)
 
 
 def active_from_submaps(m: SurfelMap, submap_active: jnp.ndarray) -> jnp.ndarray:

@@ -80,12 +80,16 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
         c = flat_idx[jnp.clip(vv, 0, h - 1) * w + jnp.clip(uu, 0, w - 1)]
         cand = cand.at[:, k].set(jnp.where(inb, c, -1))
 
-    cs = jnp.clip(cand, 0, m.pos.shape[0] - 1)
+    from ..map import surfel_map as smod
+
+    cs = jnp.clip(cand, 0, m.data.shape[0] - 1)
     Rr = pose_inv[:3, :3]
     tt = pose_inv[:3, 3]
-    nb_pos = m.pos[cs] @ Rr.T + tt                 # camera frame (P, n_off, 3)
-    nb_nrm = m.normal[cs] @ Rr.T
-    nb_conf = m.conf[cs]
+    # one wide row-gather of the packed surfel attributes for all taps
+    rows_c = m.data[cs.reshape(-1)].reshape(P, n_off, smod.N_CHANNELS)
+    nb_pos = rows_c[..., smod.POS] @ Rr.T + tt     # camera frame (P, n_off, 3)
+    nb_nrm = rows_c[..., smod.NORMAL] @ Rr.T
+    nb_conf = rows_c[..., smod.CONF]
 
     # stability filter (frag:94-99): z>0.1, |n|>0.1, conf>=thresh, n_z>0
     ok = (
@@ -103,11 +107,10 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
     take = jnp.take_along_axis
 
     sel_ok = take(sort_key, order, axis=1) <= n_off
-    sel_idx = take(cs, order, axis=1)
+    sel_rows = take(rows_c, order[..., None], axis=1)  # (P, K, 24)
     sel_pos = take(nb_pos, order[..., None], axis=1)
     sel_nrm = take(nb_nrm, order[..., None], axis=1)
-    sel_rad = m.radius[sel_idx]
-    sel_conf = m.conf[sel_idx]
+    sel_rad = sel_rows[..., smod.RADIUS]
     n_neighbors = jnp.sum(sel_ok, axis=-1)
 
     # ---- viewing rays ----
@@ -197,18 +200,18 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
     )
     p_surf, nrm, nearest, found = [o.reshape(-1, *o.shape[2:])[:P] for o in outs]
 
-    near_idx = take(sel_idx, nearest[:, None], axis=1)[:, 0]
+    near_rows = take(sel_rows, nearest[:, None, None], axis=1)[:, 0]  # (P,24)
     near_ok = take(sel_ok, nearest[:, None], axis=1)[:, 0]
     found = found & near_ok
 
-    conf = jnp.where(found, m.conf[near_idx], 0.0)
-    radius = jnp.where(found, m.radius[near_idx], 0.0)
-    color = jnp.where(found[:, None], m.color[near_idx], 0.0)
-    k1 = jnp.where(found, m.k1[near_idx], 1000.0)
-    k2 = jnp.where(found, m.k2[near_idx], 1000.0)
-    d1 = jnp.where(found[:, None], m.curv_dir1[near_idx] @ Rr.T, 0.0)
-    d2_ = jnp.where(found[:, None], m.curv_dir2[near_idx] @ Rr.T, 0.0)
-    itime = jnp.where(found, m.init_time[near_idx], 0)
+    conf = jnp.where(found, near_rows[:, smod.CONF], 0.0)
+    radius = jnp.where(found, near_rows[:, smod.RADIUS], 0.0)
+    color = jnp.where(found[:, None], near_rows[:, smod.COLOR], 0.0)
+    k1 = jnp.where(found, near_rows[:, smod.K1], 1000.0)
+    k2 = jnp.where(found, near_rows[:, smod.K2], 1000.0)
+    d1 = jnp.where(found[:, None], near_rows[:, smod.CURV_DIR1] @ Rr.T, 0.0)
+    d2_ = jnp.where(found[:, None], near_rows[:, smod.CURV_DIR2] @ Rr.T, 0.0)
+    itime = jnp.where(found, near_rows[:, smod.INIT_TIME].astype(jnp.int32), 0)
 
     lam = cfg.icp_curv_weight_lambda
     cmax = jnp.maximum(jnp.abs(k1), jnp.abs(k2))

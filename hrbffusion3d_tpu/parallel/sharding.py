@@ -36,11 +36,7 @@ def map_sharding(mesh: Mesh) -> SurfelMap:
     """Sharding pytree for SurfelMap: capacity axis split over "map"."""
     row = NamedSharding(mesh, P("map"))
     rep = NamedSharding(mesh, P())
-    return SurfelMap(
-        pos=row, conf=row, color=row, submap=row, init_time=row, stamp=row,
-        normal=row, radius=row, curv_dir1=row, k1=row, curv_dir2=row, k2=row,
-        valid=row, count=rep,
-    )
+    return SurfelMap(data=row, count=rep)
 
 
 def image_sharding(mesh: Mesh):

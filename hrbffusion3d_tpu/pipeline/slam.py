@@ -56,7 +56,7 @@ def _preprocess(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig):
         if cfg.use_bilateral_filter else frame.depth
     )
     pre = preprocess.vertex_normal_radius(frame.depth, depth_f, intr, cfg)
-    curv = preprocess.curvature_gradient(pre, intr, cfg)
+    curv = preprocess.curvature_gradient(pre, intr, cfg, chunk=cfg.curvature_chunk)
     pre = preprocess.update_normal_rad(pre, curv, cfg)
     intensity = pyramid.rgb_to_intensity(frame.rgb)
     return depth_f, pre, curv, intensity
@@ -73,7 +73,7 @@ def bootstrap(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig,
 
     pose_inv = lie.se3_inverse(pose)
     idx = sm.render_index(m, pose_inv, intr)
-    pred = raycast.predict_hrbf(m, pose_inv, idx, intr, cfg)
+    pred = raycast.predict_hrbf(m, pose_inv, idx, intr, cfg, chunk=cfg.raycast_chunk)
     filled = raycast.fill_in(
         pred, pre.vertex_filtered, pre.normal, pre.radius, frame.rgb,
         conf, curv.k1, curv.k2, cfg,
@@ -132,7 +132,7 @@ def step(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
     # ---- PREDICTION (l.1233, predict() 1244-1260) ----
     idx3 = sm.render_index(m, pose_inv, intr,
                            conf_threshold=None)
-    pred = raycast.predict_hrbf(m, pose_inv, idx3, intr, cfg)
+    pred = raycast.predict_hrbf(m, pose_inv, idx3, intr, cfg, chunk=cfg.raycast_chunk)
     filled = raycast.fill_in(
         pred, pre.vertex_filtered, pre.normal, pre.radius, frame.rgb,
         conf, curv.k1, curv.k2, cfg,

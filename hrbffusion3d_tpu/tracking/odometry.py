@@ -119,12 +119,15 @@ def _so3_prealign(inp: TrackingInputs, intr: CameraIntrinsics, cfg: SLAMConfig):
     Kinv = jnp.linalg.inv(K)
     last = inp.prev_intensity[lvl]
     nxt = inp.next_intensity[lvl]
+    next_grad_rows = icp_ops.pack_so3(nxt)
+    last_gx, last_gy = icp_ops.central_gradients(last)
 
     def body(_, carry):
         R_lr, last_err, last_cnt, best_R, done = carry
         homography = K @ R_lr @ Kinv
         krlr = K @ R_lr
-        A, b, r2, cnt = icp_ops.so3_step(last, nxt, homography, Kinv, krlr)
+        A, b, r2, cnt = icp_ops.so3_step(
+            last, nxt, next_grad_rows, last_gx, last_gy, homography, Kinv, krlr)
         err = jnp.sqrt(r2) / jnp.maximum(cnt, 1.0)
         diverged = err > last_err + 0.001
         # solve 3x3
@@ -173,11 +176,17 @@ def track(
         K = _k_matrix(li)
         Kinv = jnp.linalg.inv(K)
         d_idx, d_idy = pyr_ops.sobel_derivatives(inp.next_intensity[lvl])
-        last_cloud = camera.unproject(inp.last_depth[lvl], li)
         min_scale = (cfg.min_gradient_magnitudes[lvl] ** 2) / (cfg.sobel_scale ** 2)
+        # per-level packed constants, hoisted out of the GN iterations
+        model_rows = icp_ops.pack_model(
+            inp.last_vmap_g[lvl], inp.last_nmap_g[lvl], inp.icp_weight[lvl])
+        last_rows = icp_ops.pack_last(inp.last_depth[lvl], inp.last_intensity[lvl])
+        static_valid = icp_ops.rgb_static_valid(
+            inp.next_intensity[lvl], d_idx, d_idy, inp.next_depth[lvl], min_scale)
 
         def body(_, carry, lvl=lvl, li=li, K=K, Kinv=Kinv, d_idx=d_idx,
-                 d_idy=d_idy, last_cloud=last_cloud, min_scale=min_scale):
+                 d_idy=d_idy, model_rows=model_rows, last_rows=last_rows,
+                 static_valid=static_valid):
             result_rt, lastA, lastb, st = carry
             rt_inv = lie.se3_inverse(result_rt)
             krkinv = K @ rt_inv[:3, :3] @ Kinv
@@ -194,10 +203,8 @@ def track(
 
             if use_rgb:
                 corres = icp_ops.rgb_residual(
-                    krkinv, kt, d_idx, d_idy,
-                    inp.last_depth[lvl], inp.next_depth[lvl],
-                    inp.last_intensity[lvl], inp.next_intensity[lvl],
-                    min_scale, cfg,
+                    krkinv, kt, inp.next_depth[lvl], inp.next_intensity[lvl],
+                    last_rows, static_valid, cfg,
                 )
                 # sigmaVal quirk preserved from the reference
                 # (RGBDOdometry.cpp:1017: the expression evaluates to
@@ -206,7 +213,7 @@ def track(
                     rgb_only, jnp.float32(-1.0), jnp.sqrt(jnp.maximum(corres.count, 1.0))
                 )
                 rgb_res = icp_ops.rgb_step(
-                    corres, sigma_val, last_cloud, d_idx, d_idy, li, cfg
+                    corres, sigma_val, d_idx, d_idy, li, cfg
                 )
                 A = A + rgb_res.A
                 b = b + rgb_res.b
@@ -217,8 +224,7 @@ def track(
                 icp_res = icp_ops.icp_step(
                     R_curr, t_curr, prev_R_inv, prev_t,
                     inp.next_vmap[lvl], inp.next_nmap[lvl],
-                    inp.last_vmap_g[lvl], inp.last_nmap_g[lvl],
-                    inp.icp_weight[lvl], li, cfg,
+                    model_rows, li, cfg,
                 )
                 w = cfg.icp_weight if use_rgb else 1.0
                 A = A + (w * w) * icp_res.A

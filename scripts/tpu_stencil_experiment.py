@@ -50,17 +50,27 @@ def bilateral_accum(d):
 
 
 def _bilateral_kernel(din_ref, mask_ref, out_ref):
+    # loop over window rows (dynamic sublane start, cheap on TPU); unroll
+    # the 13 column taps (static lane offsets).  Fully unrolling all 169
+    # taps explodes Mosaic compile time.
     d = din_ref[R:R + H, R:R + W]
-    num = jnp.zeros((H, W), jnp.float32)
-    den = jnp.zeros((H, W), jnp.float32)
-    for dy in range(D):
+
+    def body(dy, acc):
+        num, den = acc
+        row_blk = din_ref[pl.ds(dy, H), :]
+        msk_blk = mask_ref[pl.ds(dy, H), :]
+        dyf = (dy - R).astype(jnp.float32)
         for dx in range(D):
-            nb = din_ref[dy:dy + H, dx:dx + W]
-            ib = mask_ref[dy:dy + H, dx:dx + W]
-            space2 = float((dy - R) ** 2 + (dx - R) ** 2)
+            nb = row_blk[:, dx:dx + W]
+            ib = msk_blk[:, dx:dx + W]
+            space2 = dyf * dyf + float((dx - R) ** 2)
             w = jnp.exp(-(space2 * SS + (d - nb) ** 2 * SC)) * ib
             num += nb * w
             den += w
+        return num, den
+
+    num, den = jax.lax.fori_loop(
+        0, D, body, (jnp.zeros((H, W), jnp.float32), jnp.zeros((H, W), jnp.float32)))
     out_ref[:, :] = jnp.where(d > 0, num / jnp.maximum(den, 1e-12), 0.0)
 
 

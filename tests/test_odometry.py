@@ -111,11 +111,12 @@ def test_icp_step_zero_at_ground_truth():
     d, inten, pre = _make_frame(pose)
     R = jnp.eye(3)
     t = jnp.zeros(3)
+    model_rows = icp_ops.pack_model(pre.vertex_filtered, pre.normal,
+                                    jnp.ones_like(d))
     res = icp_ops.icp_step(
         R, t, R, t,
         pre.vertex_filtered, pre.normal,
-        pre.vertex_filtered, pre.normal,
-        jnp.ones_like(d), INTR, CFG,
+        model_rows, INTR, CFG,
     )
     assert float(res.count) > 5000
     nb = np.asarray(res.b)

@@ -56,11 +56,10 @@ def test_render_index_roundtrip():
 def test_render_index_depth_test():
     m = sm.empty_map(8)
     # two surfels projecting to the same pixel; nearer one must win
-    m = m._replace(
-        pos=m.pos.at[0].set(jnp.array([0.0, 0.0, 2.0])).at[1].set(jnp.array([0.0, 0.0, 1.0])),
-        valid=m.valid.at[0].set(True).at[1].set(True),
-        count=jnp.int32(2),
-    )
+    data = m.data
+    data = data.at[0, sm.POS].set(jnp.array([0.0, 0.0, 2.0])).at[0, sm.VALID].set(1.0)
+    data = data.at[1, sm.POS].set(jnp.array([0.0, 0.0, 1.0])).at[1, sm.VALID].set(1.0)
+    m = sm.SurfelMap(data=data, count=jnp.int32(2))
     idx = sm.render_index(m, jnp.eye(4), INTR)
     assert int(idx[48, 64]) == 1
 
@@ -120,13 +119,12 @@ def test_compact_preserves_data():
 
 def test_apply_submap_deltas():
     m = sm.empty_map(4)
-    m = m._replace(
-        pos=jnp.array([[1.0, 0, 0], [0, 1, 0], [0, 0, 1], [2, 2, 2]]),
-        normal=jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1)),
-        submap=jnp.array([0, 1, 1, 0], jnp.int32),
-        valid=jnp.array([True, True, True, False]),
-        count=jnp.int32(3),
-    )
+    data = m.data
+    data = data.at[:, sm.POS].set(jnp.array([[1.0, 0, 0], [0, 1, 0], [0, 0, 1], [2, 2, 2]]))
+    data = data.at[:, sm.NORMAL].set(jnp.tile(jnp.array([[0.0, 0, 1]]), (4, 1)))
+    data = data.at[:, sm.SUBMAP].set(jnp.array([0.0, 1, 1, 0]))
+    data = data.at[:, sm.VALID].set(jnp.array([1.0, 1, 1, 0]))
+    m = sm.SurfelMap(data=data, count=jnp.int32(3))
     shift = jnp.eye(4).at[:3, 3].set(jnp.array([0.0, 0.0, 5.0]))
     deltas = jnp.stack([jnp.eye(4), shift])
     m2 = sm.apply_submap_deltas(m, deltas)
