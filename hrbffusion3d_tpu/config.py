@@ -132,6 +132,9 @@ class SLAMConfig:
     # sequential lax.map chunks serialize); small chunks bound CPU memory
     raycast_chunk: int = 1 << 20
     curvature_chunk: int = 1 << 20
+    # use the Pallas VMEM-stencil kernels (ops/pallas_kernels.py) for the
+    # bilateral / PCA-normal / curvature passes (TPU only)
+    use_pallas: bool = False
 
 
 DEFAULT_CONFIG = SLAMConfig()

@@ -1,0 +1,325 @@
+"""Pallas TPU kernels for the stencil-heavy preprocessing passes.
+
+The XLA formulations in ops/preprocess.py materialise (H, W, taps)
+patch tensors in HBM (bilateral: 169 taps -> ~200 MB of traffic; measured
+~55 ms on a v5e chip).  These kernels keep the window entirely in VMEM:
+inputs are overlap-expanded into row blocks with halos on the XLA side
+(one cheap strided copy), each grid step loads its (BH + 2R, W) block into
+VMEM once and accumulates all taps from there — traffic drops to ~the
+image size.
+
+Kernel structure note: fully unrolling all taps explodes Mosaic compile
+time (a 169-tap unroll did not compile in 8 minutes on the remote
+compiler); the kernels loop over window rows with ``fori_loop`` (dynamic
+sublane offset — cheap) and unroll only the column taps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import CameraIntrinsics, SLAMConfig
+from ..core import camera
+from . import hrbf
+from .preprocess import CurvatureResult, VertexNormalRadius, _smallest_eigvec_3x3, surfel_radius
+
+_BH = 48  # rows per grid block
+
+
+def _expand_rows(x: jnp.ndarray, bh: int, r: int) -> jnp.ndarray:
+    """(H + 2r, W[, C]) padded input -> (NB, bh + 2r, W[, C]) overlapping row
+    blocks (the halo copy XLA performs once, so BlockSpecs stay disjoint)."""
+    h = x.shape[0] - 2 * r
+    nb = -(-h // bh)
+    pad_rows = nb * bh + 2 * r - x.shape[0]
+    if pad_rows:
+        x = jnp.pad(x, [(0, pad_rows)] + [(0, 0)] * (x.ndim - 1))
+    return jnp.stack([x[i * bh: i * bh + bh + 2 * r] for i in range(nb)])
+
+
+def _unexpand(y: jnp.ndarray, h: int) -> jnp.ndarray:
+    """(NB, bh, W[, C]) -> (H, W[, C])."""
+    nb, bh = y.shape[0], y.shape[1]
+    return y.reshape((nb * bh,) + y.shape[2:])[:h]
+
+
+# ---------------------------------------------------------------------- #
+# bilateral filter
+# ---------------------------------------------------------------------- #
+
+def _bilateral_kernel(din_ref, out_ref, *, R, W, SS, SC):
+    D = 2 * R + 1
+    bh = out_ref.shape[1]
+    d = din_ref[0, R:R + bh, R:R + W]
+
+    def body(dy, acc):
+        num, den = acc
+        row = din_ref[0, pl.ds(dy, bh), :]
+        dyf = (dy - R).astype(jnp.float32)
+        for dx in range(D):
+            nb = row[:, dx:dx + W]
+            space2 = dyf * dyf + float((dx - R) ** 2)
+            w = jnp.exp(-(space2 * SS + (d - nb) ** 2 * SC)) * (nb > 0)
+            num = num + nb * w
+            den = den + w
+        return num, den
+
+    zero = jnp.zeros((bh, W), jnp.float32)
+    num, den = jax.lax.fori_loop(0, D, body, (zero, zero))
+    out_ref[0, :, :] = jnp.where(d > 0, num / jnp.maximum(den, 1e-12), 0.0)
+
+
+def bilateral_filter(depth: jnp.ndarray, cfg: SLAMConfig,
+                     interpret: bool = False) -> jnp.ndarray:
+    """depth_bilateral.frag semantics (see preprocess.bilateral_filter).
+
+    Matches the XLA version except that invalid (zero) neighbors are
+    excluded from the denominator via the (nb > 0) mask — out-of-image
+    padding and invalid depths are both zero here, which also reproduces
+    the shader's clamped loop."""
+    R = 6
+    h, w = depth.shape
+    d = jnp.where((depth > cfg.depth_min) & (depth <= cfg.depth_cutoff), depth, 0.0)
+    blocks = _expand_rows(jnp.pad(d, R), _BH, R)
+    nb = blocks.shape[0]
+    kern = functools.partial(_bilateral_kernel, R=R, W=w,
+                             SS=0.024691358, SC=555.556)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, _BH + 2 * R, w + 2 * R),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _BH, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, _BH, w), jnp.float32),
+        interpret=interpret,
+    )(blocks)
+    return _unexpand(out, h)
+
+
+# ---------------------------------------------------------------------- #
+# PCA normals
+# ---------------------------------------------------------------------- #
+
+def _pca_kernel(vin_ref, out_ref, *, R, W, depth_min):
+    D = 2 * R + 1
+    bh = out_ref.shape[1]
+    cx = vin_ref[0, 0, R:R + bh, R:R + W]
+    cy = vin_ref[0, 1, R:R + bh, R:R + W]
+    cz = vin_ref[0, 2, R:R + bh, R:R + W]
+
+    def body(dy, acc):
+        (sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, cnt) = acc
+        rx = vin_ref[0, 0, pl.ds(dy, bh), :]
+        ry = vin_ref[0, 1, pl.ds(dy, bh), :]
+        rz = vin_ref[0, 2, pl.ds(dy, bh), :]
+        for dx in range(D):
+            nx = rx[:, dx:dx + W]
+            ny = ry[:, dx:dx + W]
+            nz = rz[:, dx:dx + W]
+            ok = (nz > depth_min) & (jnp.abs(nz - cz) < 0.05)
+            m = ok.astype(jnp.float32)
+            sx += nx * m
+            sy += ny * m
+            sz += nz * m
+            sxx += nx * nx * m
+            sxy += nx * ny * m
+            sxz += nx * nz * m
+            syy += ny * ny * m
+            syz += ny * nz * m
+            szz += nz * nz * m
+            cnt += m
+        return (sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, cnt)
+
+    zero = jnp.zeros((bh, W), jnp.float32)
+    acc = jax.lax.fori_loop(0, D, body, (zero,) * 10)
+    (sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, cnt) = acc
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    mx, my, mz = sx * inv, sy * inv, sz * inv
+    # covariance entries
+    A = jnp.stack([
+        jnp.stack([sxx * inv - mx * mx, sxy * inv - mx * my, sxz * inv - mx * mz], -1),
+        jnp.stack([sxy * inv - mx * my, syy * inv - my * my, syz * inv - my * mz], -1),
+        jnp.stack([sxz * inv - mx * mz, syz * inv - my * mz, szz * inv - mz * mz], -1),
+    ], -2)
+    n = _smallest_eigvec_3x3(A)
+    n = n * jnp.where(n[..., 2:3] < 0, -1.0, 1.0)
+    ok = (cnt >= 8) & (cz > depth_min)
+    n = jnp.where(ok[..., None], n, 0.0)
+    out_ref[0, :, :, 0] = n[..., 0]
+    out_ref[0, :, :, 1] = n[..., 1]
+    out_ref[0, :, :, 2] = n[..., 2]
+
+
+def normal_pca(vertex_f: jnp.ndarray, cfg: SLAMConfig,
+               interpret: bool = False) -> jnp.ndarray:
+    """PCA normal estimation (geometry.glsl:190-244), Pallas version of
+    preprocess.normal_pca."""
+    R = 3
+    h, w = vertex_f.shape[:2]
+    # channels-first so each channel is a clean 2-D VMEM plane
+    vcf = jnp.moveaxis(jnp.pad(vertex_f, [(R, R), (R, R), (0, 0)]), -1, 0)
+    blocks = jnp.stack([
+        _expand_rows(vcf[c], _BH, R) for c in range(3)
+    ], axis=1)  # (NB, 3, BH+2R, W+2R)
+    nb = blocks.shape[0]
+    kern = functools.partial(_pca_kernel, R=R, W=w, depth_min=cfg.depth_min)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, 3, _BH + 2 * R, w + 2 * R),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _BH, w, 3), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, _BH, w, 3), jnp.float32),
+        interpret=interpret,
+    )(blocks)
+    return _unexpand(out, h)
+
+
+# ---------------------------------------------------------------------- #
+# curvature / HRBF gradient pass
+# ---------------------------------------------------------------------- #
+
+def _curv_kernel(vin_ref, nin_ref, rin_ref, out_ref, *, R, W, depth_min):
+    """Accumulate the HRBF gradient (3) and Hessian (6 unique) at each centre
+    vertex over the (2R+1)^2 window, then emit [g(3) | h6(6) | count] —
+    the curvature conversion happens outside (cheap elementwise).
+
+    Closed forms (ops/hrbf.py, verified against autodiff):
+      grad  -= a c + b (v.c) v,   a = -20 s^3/T^2,  b = 60 s^2/(T^4 r)
+      hess  -= C60 [ b2 (c_i v_j + c_j v_i + d_ij vc) - coef v_i v_j vc ]
+               b2 = s^2/r, C60 = 60/T^4, coef = (2 s + b2)/(T^2 r^2)
+    """
+    D = 2 * R + 1
+    bh = out_ref.shape[1]
+    px = vin_ref[0, 0, R:R + bh, R:R + W]
+    py = vin_ref[0, 1, R:R + bh, R:R + W]
+    pz = vin_ref[0, 2, R:R + bh, R:R + W]
+
+    def body(dy, acc):
+        (g0, g1, g2, h00, h01, h02, h11, h12, h22, cnt) = acc
+        qx = vin_ref[0, 0, pl.ds(dy, bh), :]
+        qy = vin_ref[0, 1, pl.ds(dy, bh), :]
+        qz = vin_ref[0, 2, pl.ds(dy, bh), :]
+        nx = nin_ref[0, 0, pl.ds(dy, bh), :]
+        ny = nin_ref[0, 1, pl.ds(dy, bh), :]
+        nz = nin_ref[0, 2, pl.ds(dy, bh), :]
+        rr = rin_ref[0, pl.ds(dy, bh), :]
+        for dx in range(D):
+            sl = slice(dx, dx + W)
+            vx = px - qx[:, sl]
+            vy = py - qy[:, sl]
+            vz = pz - qz[:, sl]
+            cxn = hrbf.HERMITE_SCALE * nx[:, sl]
+            cyn = hrbf.HERMITE_SCALE * ny[:, sl]
+            czn = hrbf.HERMITE_SCALE * nz[:, sl]
+            T = rr[:, sl]
+            nlen2 = nx[:, sl] ** 2 + ny[:, sl] ** 2 + nz[:, sl] ** 2
+            valid = (qz[:, sl] > depth_min) & (jnp.abs(qz[:, sl] - pz) < 0.10) \
+                & (nlen2 > 0.64)
+            d2 = vx * vx + vy * vy + vz * vz
+            T2 = jnp.maximum(T * T, 1e-12)
+            r = jnp.sqrt(jnp.maximum(d2, 0.0) / T2)
+            safe_r = jnp.maximum(r, 1e-20)
+            s = jnp.maximum(1.0 - r, 0.0)
+            inside = valid & (d2 <= T2) & (d2 > 0.0)
+            at0 = valid & (d2 == 0.0)
+            m = inside.astype(jnp.float32)
+
+            vc = vx * cxn + vy * cyn + vz * czn
+            a = -20.0 * (s ** 3) / T2
+            b = 60.0 * (s * s / safe_r) / (T2 * T2)
+            # grad -= a c + b vc v ; at r=0 the limit is a0*c, a0=-20/T^2
+            a0 = -20.0 / T2 * at0.astype(jnp.float32)
+            g0 -= m * (a * cxn + b * vc * vx) + a0 * cxn
+            g1 -= m * (a * cyn + b * vc * vy) + a0 * cyn
+            g2 -= m * (a * czn + b * vc * vz) + a0 * czn
+
+            b2 = s * s / safe_r
+            C60 = 60.0 / (T2 * T2)
+            coef = (2.0 * s + b2) / (T2 * safe_r * safe_r)
+            t1 = C60 * b2
+            t2 = C60 * coef * vc
+            h00 -= m * (t1 * (2 * cxn * vx + vc) - t2 * vx * vx)
+            h01 -= m * (t1 * (cxn * vy + cyn * vx) - t2 * vx * vy)
+            h02 -= m * (t1 * (cxn * vz + czn * vx) - t2 * vx * vz)
+            h11 -= m * (t1 * (2 * cyn * vy + vc) - t2 * vy * vy)
+            h12 -= m * (t1 * (cyn * vz + czn * vy) - t2 * vy * vz)
+            h22 -= m * (t1 * (2 * czn * vz + vc) - t2 * vz * vz)
+            cnt += m + at0.astype(jnp.float32)
+        return (g0, g1, g2, h00, h01, h02, h11, h12, h22, cnt)
+
+    zero = jnp.zeros((bh, W), jnp.float32)
+    acc = jax.lax.fori_loop(0, D, body, (zero,) * 10)
+    for i in range(10):
+        out_ref[0, :, :, i] = acc[i]
+
+
+def curvature_gradient(pre: VertexNormalRadius, intr: CameraIntrinsics,
+                       cfg: SLAMConfig, interpret: bool = False) -> CurvatureResult:
+    """depth_curvature_gradient.frag via the Pallas stencil; identical
+    semantics to preprocess.curvature_gradient."""
+    R = cfg.curv_window
+    h, w = pre.radius.shape
+    vcf = jnp.moveaxis(jnp.pad(pre.vertex_filtered, [(R, R), (R, R), (0, 0)]), -1, 0)
+    ncf = jnp.moveaxis(jnp.pad(pre.normal, [(R, R), (R, R), (0, 0)]), -1, 0)
+    rad = jnp.pad(pre.radius, R)
+    vblocks = jnp.stack([_expand_rows(vcf[c], _BH, R) for c in range(3)], axis=1)
+    nblocks = jnp.stack([_expand_rows(ncf[c], _BH, R) for c in range(3)], axis=1)
+    rblocks = _expand_rows(rad, _BH, R)
+    nb = vblocks.shape[0]
+    kern = functools.partial(_curv_kernel, R=R, W=w, depth_min=cfg.depth_min)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 3, _BH + 2 * R, w + 2 * R), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, _BH + 2 * R, w + 2 * R), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BH + 2 * R, w + 2 * R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BH, w, 10), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, _BH, w, 10), jnp.float32),
+        interpret=interpret,
+    )(vblocks, nblocks, rblocks)
+    acc = _unexpand(out, h)
+
+    grad = acc[..., 0:3]
+    H = jnp.stack([
+        jnp.stack([acc[..., 3], acc[..., 4], acc[..., 5]], -1),
+        jnp.stack([acc[..., 4], acc[..., 6], acc[..., 7]], -1),
+        jnp.stack([acc[..., 5], acc[..., 7], acc[..., 8]], -1),
+    ], -2)
+    cnt = acc[..., 9]
+
+    k1, k2, d1, d2, kvalid = hrbf.principal_curvatures(grad, H)
+    vc = pre.vertex_filtered
+    nc = pre.normal
+    center_ok = (vc[..., 2] > cfg.depth_min) & (jnp.linalg.norm(nc, axis=-1) > 0.5)
+    gmag = jnp.abs(jnp.sum(grad * nc, axis=-1))
+    gn = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-20)
+    ok = (cnt > 15) & kvalid & center_ok
+
+    sent = jnp.float32(1000.0)
+    rad_opt = jnp.where(
+        ok, surfel_radius(vc[..., 2], gn[..., 2], intr) * cfg.radius_multiplier, 0.0)
+    return CurvatureResult(
+        k1=jnp.where(ok, k1, sent), k2=jnp.where(ok, k2, sent),
+        dir1=jnp.where(ok[..., None], d1, 0.0),
+        dir2=jnp.where(ok[..., None], d2, 0.0),
+        gradient_mag=jnp.where(ok, gmag, 0.0),
+        normal_opt=jnp.where(ok[..., None], gn, 0.0),
+        radius_opt=rad_opt,
+        valid=ok,
+    )

@@ -164,7 +164,12 @@ def vertex_normal_radius(depth_raw: jnp.ndarray, depth_filtered: jnp.ndarray,
     v_raw = camera.unproject(depth_raw, intr)
     v_f = camera.unproject(depth_filtered, intr)
     if cfg.normal_pca:
-        n = normal_pca(v_f, cfg)
+        if cfg.use_pallas:
+            from . import pallas_kernels
+
+            n = pallas_kernels.normal_pca(v_f, cfg)
+        else:
+            n = normal_pca(v_f, cfg)
     else:
         n = normal_central_diff(v_f, depth_raw, cfg)
     rad = cfg.radius_multiplier * surfel_radius(v_f[..., 2], n[..., 2], intr)

@@ -277,3 +277,63 @@ def fill_in(pred: Prediction, live_vertex: jnp.ndarray, live_normal: jnp.ndarray
         icp_weight=jnp.where(have, pred.icp_weight, live_w),
         from_model=have,
     )
+
+
+def predict_splat(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
+                  intr: CameraIntrinsics, cfg: SLAMConfig) -> Prediction:
+    """Classic surfel-splat prediction — the reference's ``combinedPredict``
+    alternative path (IndexMap.cpp:359-412, combo_splat.frag:19-63), kept
+    for comparison/debug: each pixel simply takes the nearest rendered
+    surfel from the index map (no implicit-surface ray cast)."""
+    from ..map import surfel_map as smod
+
+    h, w = intr.height, intr.width
+    P = h * w
+    flat = index_map.reshape(P)
+    found = flat >= 0
+    cs = jnp.clip(flat, 0, m.data.shape[0] - 1)
+    rows = m.data[cs]
+    Rr = pose_inv[:3, :3]
+    tt = pose_inv[:3, 3]
+    pos = rows[:, smod.POS] @ Rr.T + tt
+    nrm = rows[:, smod.NORMAL] @ Rr.T
+    conf = rows[:, smod.CONF]
+    k1 = rows[:, smod.K1]
+    k2 = rows[:, smod.K2]
+    lam = cfg.icp_curv_weight_lambda
+    cmax = jnp.maximum(jnp.abs(k1), jnp.abs(k2))
+    zz = jnp.maximum(pos[:, 2], 1e-6)
+    icp_w = jnp.where(
+        found,
+        (1.0 / (zz * zz)) * (conf / 256.0
+                             + jnp.exp(-0.5 * lam * lam / jnp.maximum(cmax * cmax, 1e-12))),
+        0.0,
+    )
+    z3 = found[:, None]
+    return Prediction(
+        vertex=jnp.where(z3, pos, 0.0).reshape(h, w, 3),
+        conf=jnp.where(found, conf, 0.0).reshape(h, w),
+        normal=jnp.where(z3, nrm, 0.0).reshape(h, w, 3),
+        radius=jnp.where(found, rows[:, smod.RADIUS], 0.0).reshape(h, w),
+        color=jnp.where(z3, rows[:, smod.COLOR], 0.0).reshape(h, w, 3),
+        k1=jnp.where(found, k1, 1000.0).reshape(h, w),
+        k2=jnp.where(found, k2, 1000.0).reshape(h, w),
+        curv_dir1=jnp.where(z3, rows[:, smod.CURV_DIR1] @ Rr.T, 0.0).reshape(h, w, 3),
+        curv_dir2=jnp.where(z3, rows[:, smod.CURV_DIR2] @ Rr.T, 0.0).reshape(h, w, 3),
+        time=jnp.where(found, rows[:, smod.INIT_TIME].astype(jnp.int32), 0).reshape(h, w),
+        icp_weight=icp_w.reshape(h, w),
+        found=found.reshape(h, w),
+    )
+
+
+def render_depth(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
+                 intr: CameraIntrinsics) -> jnp.ndarray:
+    """Depth-only render for display/debug (IndexMap::renderDepth,
+    IndexMap.cpp:269-301)."""
+    h, w = intr.height, intr.width
+    flat = index_map.reshape(h * w)
+    cs = jnp.clip(flat, 0, m.data.shape[0] - 1)
+    from ..map import surfel_map as smod
+
+    pos = m.data[cs][:, smod.POS] @ pose_inv[:3, :3].T + pose_inv[:3, 3]
+    return jnp.where(flat >= 0, pos[:, 2], 0.0).reshape(h, w)

@@ -51,12 +51,22 @@ class FrameInput(NamedTuple):
 def _preprocess(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig):
     """HRBFFusion.cpp:1016-1022: filter -> metricise -> vertex/normal/radius
     -> curvature/gradient -> update normal."""
-    depth_f = (
-        preprocess.bilateral_filter(frame.depth, cfg)
-        if cfg.use_bilateral_filter else frame.depth
-    )
+    if cfg.use_bilateral_filter:
+        if cfg.use_pallas:
+            from ..ops import pallas_kernels
+
+            depth_f = pallas_kernels.bilateral_filter(frame.depth, cfg)
+        else:
+            depth_f = preprocess.bilateral_filter(frame.depth, cfg)
+    else:
+        depth_f = frame.depth
     pre = preprocess.vertex_normal_radius(frame.depth, depth_f, intr, cfg)
-    curv = preprocess.curvature_gradient(pre, intr, cfg, chunk=cfg.curvature_chunk)
+    if cfg.use_pallas:
+        from ..ops import pallas_kernels
+
+        curv = pallas_kernels.curvature_gradient(pre, intr, cfg)
+    else:
+        curv = preprocess.curvature_gradient(pre, intr, cfg, chunk=cfg.curvature_chunk)
     pre = preprocess.update_normal_rad(pre, curv, cfg)
     intensity = pyramid.rgb_to_intensity(frame.rgb)
     return depth_f, pre, curv, intensity

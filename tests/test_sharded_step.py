@@ -1,0 +1,54 @@
+"""Sharded full-step equivalence: the GSPMD-sharded SLAM step on the 8-device
+mesh must produce the same result as the single-device step (map-domain
+decomposition correctness, SURVEY §2.14)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hrbffusion3d_tpu.config import CameraIntrinsics, small_test_config
+from hrbffusion3d_tpu.eval import synth
+from hrbffusion3d_tpu.parallel import sharding as sh
+from hrbffusion3d_tpu.pipeline import slam
+
+INTR = CameraIntrinsics(fx=52.0, fy=52.0, cx=32.0, cy=24.0, width=64, height=48)
+CFG = small_test_config(
+    map_capacity=1 << 12,
+    new_surfels_capacity=1 << 10,
+    pyramid_iterations=(2, 2, 2),
+    so3_iterations=2,
+    predict_conf_threshold=0.2,
+)
+
+
+def test_sharded_step_matches_single_device():
+    scene = synth.default_room()
+    poses = synth.orbit_trajectory(2)
+    d0, c0 = synth.render_frame(scene, jnp.asarray(poses[0]), INTR)
+    d1, c1 = synth.render_frame(scene, jnp.asarray(poses[1]), INTR)
+    f0 = slam.FrameInput(depth=d0, rgb=c0)
+    f1 = slam.FrameInput(depth=d1, rgb=c1)
+
+    state = slam.bootstrap(f0, INTR, CFG, init_pose=poses[0])
+    ref = slam.step(state, f1, INTR, CFG)
+
+    mesh = sh.make_mesh(8)
+    st_shard = sh.state_sharding(mesh)
+    fr_shard = sh.frame_sharding(mesh)
+    sharded_step = jax.jit(
+        lambda s, f: slam.step(s, f, INTR, CFG),
+        in_shardings=(st_shard, fr_shard),
+        out_shardings=st_shard,
+    )
+    out = sharded_step(sh.shard_state(state, mesh), sh.shard_frame(f1, mesh))
+
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.R), np.asarray(ref.R), atol=1e-4)
+    assert int(out.map.count) == int(ref.map.count)
+    # dense map contents equivalent (same order: deterministic compaction)
+    a = np.asarray(out.map.data[: int(out.map.count)])
+    b = np.asarray(ref.map.data[: int(ref.map.count)])
+    np.testing.assert_allclose(a, b, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.pred_vertex), np.asarray(ref.pred_vertex), atol=1e-3
+    )
