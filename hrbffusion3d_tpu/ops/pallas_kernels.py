@@ -8,10 +8,11 @@ inputs are overlap-expanded into row blocks with halos on the XLA side
 VMEM once and accumulates all taps from there — traffic drops to ~the
 image size.
 
-Kernel structure note: fully unrolling all taps explodes Mosaic compile
-time (a 169-tap unroll did not compile in 8 minutes on the remote
-compiler); the kernels loop over window rows with ``fori_loop`` (dynamic
-sublane offset — cheap) and unroll only the column taps.
+Kernel structure note: Mosaic requires statically-provable sublane
+alignment for dynamic slices (dynamic ``pl.ds`` row starts fail with
+"cannot statically prove that index ... is a multiple of 8"), so the
+window loops are fully static — the compiler handles arbitrary static
+offsets via sublane rotations.
 """
 
 from __future__ import annotations
@@ -57,20 +58,16 @@ def _bilateral_kernel(din_ref, out_ref, *, R, W, SS, SC):
     bh = out_ref.shape[1]
     d = din_ref[0, R:R + bh, R:R + W]
 
-    def body(dy, acc):
-        num, den = acc
-        row = din_ref[0, pl.ds(dy, bh), :]
-        dyf = (dy - R).astype(jnp.float32)
+    num = jnp.zeros((bh, W), jnp.float32)
+    den = jnp.zeros((bh, W), jnp.float32)
+    for dy in range(D):
+        row = din_ref[0, dy:dy + bh, :]
         for dx in range(D):
             nb = row[:, dx:dx + W]
-            space2 = dyf * dyf + float((dx - R) ** 2)
+            space2 = float((dy - R) ** 2 + (dx - R) ** 2)
             w = jnp.exp(-(space2 * SS + (d - nb) ** 2 * SC)) * (nb > 0)
             num = num + nb * w
             den = den + w
-        return num, den
-
-    zero = jnp.zeros((bh, W), jnp.float32)
-    num, den = jax.lax.fori_loop(0, D, body, (zero, zero))
     out_ref[0, :, :] = jnp.where(d > 0, num / jnp.maximum(den, 1e-12), 0.0)
 
 
@@ -114,11 +111,12 @@ def _pca_kernel(vin_ref, out_ref, *, R, W, depth_min):
     cy = vin_ref[0, 1, R:R + bh, R:R + W]
     cz = vin_ref[0, 2, R:R + bh, R:R + W]
 
-    def body(dy, acc):
-        (sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, cnt) = acc
-        rx = vin_ref[0, 0, pl.ds(dy, bh), :]
-        ry = vin_ref[0, 1, pl.ds(dy, bh), :]
-        rz = vin_ref[0, 2, pl.ds(dy, bh), :]
+    zero = jnp.zeros((bh, W), jnp.float32)
+    (sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, cnt) = (zero,) * 10
+    for dy in range(D):
+        rx = vin_ref[0, 0, dy:dy + bh, :]
+        ry = vin_ref[0, 1, dy:dy + bh, :]
+        rz = vin_ref[0, 2, dy:dy + bh, :]
         for dx in range(D):
             nx = rx[:, dx:dx + W]
             ny = ry[:, dx:dx + W]
@@ -135,11 +133,6 @@ def _pca_kernel(vin_ref, out_ref, *, R, W, depth_min):
             syz += ny * nz * m
             szz += nz * nz * m
             cnt += m
-        return (sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, cnt)
-
-    zero = jnp.zeros((bh, W), jnp.float32)
-    acc = jax.lax.fori_loop(0, D, body, (zero,) * 10)
-    (sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, cnt) = acc
     inv = 1.0 / jnp.maximum(cnt, 1.0)
     mx, my, mz = sx * inv, sy * inv, sz * inv
     # covariance entries
@@ -204,15 +197,16 @@ def _curv_kernel(vin_ref, nin_ref, rin_ref, out_ref, *, R, W, depth_min):
     py = vin_ref[0, 1, R:R + bh, R:R + W]
     pz = vin_ref[0, 2, R:R + bh, R:R + W]
 
-    def body(dy, acc):
-        (g0, g1, g2, h00, h01, h02, h11, h12, h22, cnt) = acc
-        qx = vin_ref[0, 0, pl.ds(dy, bh), :]
-        qy = vin_ref[0, 1, pl.ds(dy, bh), :]
-        qz = vin_ref[0, 2, pl.ds(dy, bh), :]
-        nx = nin_ref[0, 0, pl.ds(dy, bh), :]
-        ny = nin_ref[0, 1, pl.ds(dy, bh), :]
-        nz = nin_ref[0, 2, pl.ds(dy, bh), :]
-        rr = rin_ref[0, pl.ds(dy, bh), :]
+    zero = jnp.zeros((bh, W), jnp.float32)
+    (g0, g1, g2, h00, h01, h02, h11, h12, h22, cnt) = (zero,) * 10
+    for dy in range(D):
+        qx = vin_ref[0, 0, dy:dy + bh, :]
+        qy = vin_ref[0, 1, dy:dy + bh, :]
+        qz = vin_ref[0, 2, dy:dy + bh, :]
+        nx = nin_ref[0, 0, dy:dy + bh, :]
+        ny = nin_ref[0, 1, dy:dy + bh, :]
+        nz = nin_ref[0, 2, dy:dy + bh, :]
+        rr = rin_ref[0, dy:dy + bh, :]
         for dx in range(D):
             sl = slice(dx, dx + W)
             vx = px - qx[:, sl]
@@ -255,10 +249,7 @@ def _curv_kernel(vin_ref, nin_ref, rin_ref, out_ref, *, R, W, depth_min):
             h12 -= m * (t1 * (cyn * vz + czn * vy) - t2 * vy * vz)
             h22 -= m * (t1 * (2 * czn * vz + vc) - t2 * vz * vz)
             cnt += m + at0.astype(jnp.float32)
-        return (g0, g1, g2, h00, h01, h02, h11, h12, h22, cnt)
-
-    zero = jnp.zeros((bh, W), jnp.float32)
-    acc = jax.lax.fori_loop(0, D, body, (zero,) * 10)
+    acc = (g0, g1, g2, h00, h01, h02, h11, h12, h22, cnt)
     for i in range(10):
         out_ref[0, :, :, i] = acc[i]
 

@@ -28,15 +28,22 @@ class FullSLAM:
     """MainController + HRBFFusion equivalent (host loop; device math jitted)."""
 
     def __init__(self, intr: CameraIntrinsics, cfg: SLAMConfig,
-                 backend_kwargs: dict | None = None, init_pose=None):
+                 backend_kwargs: dict | None = None, init_pose=None,
+                 loop_kwargs: dict | None = None):
         self.intr = intr
         self.cfg = cfg
         self.init_pose = init_pose
         self.state: slam.SLAMState | None = None
         self.backend = SparseBackend(intr, cfg, **(backend_kwargs or {}))
+        self.loop_closer = None
+        if cfg.use_global_ba:
+            from ..backend.loop import LoopCloser
+
+            self.loop_closer = LoopCloser(self.backend, **(loop_kwargs or {}))
         self.trajectory: list[np.ndarray] = []
         self.timestamps: list[float] = []
         self.kf_of_frame: list[int] = []
+        self.loop_closures: list[tuple[int, int]] = []
 
     # ------------------------------------------------------------------ #
     def _kf_inputs(self, frame: slam.FrameInput):
@@ -59,6 +66,8 @@ class FullSLAM:
                 kf_id = self.backend.insert_keyframe(
                     intensity, depth_f, pose, time=int(self.state.time))
                 self.state = self.state._replace(submap_idx=jnp.int32(kf_id))
+                if self.loop_closer is not None:
+                    self.loop_closer.add_keyframe(kf_id)
         else:
             self.state = slam.step(self.state, frame, self.intr, cfg)
             pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
@@ -72,6 +81,14 @@ class FullSLAM:
                 if deltas is not None:
                     self._apply_correction(deltas, kf_id)
                     pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
+                # loop closing (LoopClosing::Run equivalent, synchronous)
+                if self.loop_closer is not None:
+                    cand = self.loop_closer.add_keyframe(kf_id)
+                    if cand is not None:
+                        loop_deltas = self.loop_closer.correct(cand)
+                        self._apply_correction(loop_deltas, kf_id)
+                        pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
+                        self.loop_closures.append((cand.match_kf, cand.query_kf))
 
         self.trajectory.append(pose)
         self.timestamps.append(timestamp)

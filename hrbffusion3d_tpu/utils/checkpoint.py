@@ -84,4 +84,12 @@ def load(path: str, system: FullSLAM) -> FullSLAM:
     system.trajectory = data["trajectory"]
     system.timestamps = data["timestamps"]
     system.kf_of_frame = data["kf_of_frame"]
+    # rebuild the BoW database (deterministic vocabulary)
+    if system.loop_closer is not None:
+        from ..backend import bow as bow_mod
+
+        system.loop_closer.db = bow_mod.BowDatabase(system.loop_closer.db.n_words)
+        for kf in be.keyframes:
+            system.loop_closer.db.add(
+                jnp.asarray(kf.desc), jnp.asarray(kf.kp_valid))
     return system

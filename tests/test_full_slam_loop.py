@@ -1,0 +1,62 @@
+"""Full system with loop closure active: out-and-back sequence revisiting
+the start must trigger a verified loop closure through the integrated
+pipeline (BASELINE config 2: 'global pose graph on loop closure')."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from hrbffusion3d_tpu.config import CameraIntrinsics, small_test_config
+from hrbffusion3d_tpu.eval import ate, synth
+from hrbffusion3d_tpu.pipeline import slam
+from hrbffusion3d_tpu.pipeline.full_slam import FullSLAM
+
+INTR = CameraIntrinsics(fx=103.0, fy=103.0, cx=64.0, cy=48.0, width=128, height=96)
+CFG = small_test_config(
+    map_capacity=1 << 16,
+    pyramid_iterations=(10, 5, 4),
+    so3_iterations=10,
+    predict_conf_threshold=0.2,
+    keyframe_period=2,
+)
+
+
+def _out_and_back(n_out=8, step=0.06):
+    poses = []
+    for i in list(range(n_out)) + list(range(n_out - 2, -1, -1)):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [step * i, 0.0, 0.0]
+        poses.append(T)
+    return np.stack(poses)
+
+
+def test_loop_closure_fires_in_pipeline():
+    gt = _out_and_back()
+    scene = synth.default_room()
+    sys = FullSLAM(
+        INTR, CFG,
+        backend_kwargs=dict(fast_threshold=8.0),
+        loop_kwargs=dict(min_score=0.05, min_inliers=12),
+        init_pose=gt[0],
+    )
+    for i in range(gt.shape[0]):
+        d, c = synth.render_frame_jit(scene, jnp.asarray(gt[i]), INTR)
+        sys.process(slam.FrameInput(depth=d, rgb=c), timestamp=float(i))
+    # the return leg revisits the first keyframe's view
+    assert len(sys.loop_closures) >= 1, "no loop closure detected"
+    err = ate.ate_rmse(sys.poses(), gt, align=False)
+    assert err < 0.03, err
+
+
+def test_no_loop_without_global_ba():
+    cfg = dataclasses.replace(CFG, use_global_ba=False)
+    gt = _out_and_back(4)
+    scene = synth.default_room()
+    sys = FullSLAM(INTR, cfg, backend_kwargs=dict(fast_threshold=8.0),
+                   init_pose=gt[0])
+    for i in range(gt.shape[0]):
+        d, c = synth.render_frame_jit(scene, jnp.asarray(gt[i]), INTR)
+        sys.process(slam.FrameInput(depth=d, rgb=c))
+    assert sys.loop_closer is None
+    assert len(sys.loop_closures) == 0
