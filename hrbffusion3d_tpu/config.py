@@ -121,7 +121,7 @@ class SLAMConfig:
 
     # -- capacities (TPU static shapes; reference: GlobalModel.cpp:21-22
     #    TEXTURE_DIMENSION=4596 => 21.1M; we keep it configurable) --
-    map_capacity: int = 1 << 21
+    map_capacity: int = 1 << 20
     new_surfels_capacity: int = 1 << 17     # max insertions per frame (checkerboarded)
 
     # -- TPU-specific --

@@ -225,6 +225,22 @@ def render_index(m: SurfelMap, pose_inv: jnp.ndarray, intr: CameraIntrinsics,
         ok &= m.conf >= conf_threshold
     pix = jnp.where(ok, v * w + u, h * w)  # overflow bucket
 
+    if n <= (1 << 20):
+        # single scatter-min of a packed (quantised-depth | surfel-id) key:
+        # 11 bits of z (1.7 mm steps to 3.5 m — far finer than the +-50 mm
+        # association tolerances) in the high bits, 20-bit id in the low
+        # bits.  One scatter replaces the zbuf-min + winner-select +
+        # idbuf-min trio (device scatters cost ~0.1 us/row — the hot op).
+        zq = jnp.clip((z * (2047.0 / 3.5)), 0, 2047).astype(jnp.int32)
+        key = jnp.where(ok, (zq << 20) | jnp.arange(n, dtype=jnp.int32),
+                        jnp.iinfo(jnp.int32).max)
+        buf = jnp.full((h * w + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        buf = buf.at[pix].min(key)
+        out = buf[: h * w]
+        return jnp.where(out == jnp.iinfo(jnp.int32).max, -1,
+                         out & ((1 << 20) - 1)).reshape(h, w)
+
+    # large-capacity fallback: exact float z-buffer (two scatter-mins)
     big = jnp.float32(1e30)
     zbuf = jnp.full((h * w + 1,), big)
     zbuf = zbuf.at[pix].min(jnp.where(ok, z, big))
@@ -234,6 +250,46 @@ def render_index(m: SurfelMap, pose_inv: jnp.ndarray, intr: CameraIntrinsics,
                                           jnp.iinfo(jnp.int32).max))
     out = idxbuf[: h * w]
     return jnp.where(out == jnp.iinfo(jnp.int32).max, -1, out).reshape(h, w)
+
+
+# Rendered attribute image channels (render_attr_image): the TPU analogue of
+# IndexMap's multi-attachment framebuffer (vertConf/normRad/colorTime/...
+# textures, IndexMap.cpp:193-267) — ONE row gather builds it; all window
+# searches then read it with streaming patch extraction instead of dynamic
+# gathers (calibrated at ~10 ns/row on the chip, so 9-49 taps of per-pixel
+# gathers were the dominant cost).
+A_POS = slice(0, 3)      # camera-frame position
+A_NRM = slice(3, 6)      # camera-frame normal
+A_CONF = 6
+A_RADIUS = 7
+A_INIT = 8
+A_STAMP = 9
+A_ACTIVE = 10
+A_VALID = 11
+ATTR_CHANNELS = 12
+
+
+def render_attr_image(m: SurfelMap, index_map: jnp.ndarray,
+                      pose_inv: jnp.ndarray,
+                      active: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(H, W, 12) camera-frame attributes of the rendered surfel per pixel."""
+    h, w = index_map.shape
+    flat = index_map.reshape(-1)
+    has = flat >= 0
+    cs = jnp.clip(flat, 0, m.data.shape[0] - 1)
+    rows = m.data[cs]                                 # ONE (P, 24) row gather
+    pos_cam = rows[:, POS] @ pose_inv[:3, :3].T + pose_inv[:3, 3]
+    nrm_cam = rows[:, NORMAL] @ pose_inv[:3, :3].T
+    act = (active[cs] if active is not None
+           else jnp.ones_like(has)).astype(jnp.float32)
+    img = jnp.concatenate([
+        pos_cam, nrm_cam,
+        rows[:, CONF, None], rows[:, RADIUS, None],
+        rows[:, INIT_TIME, None], rows[:, STAMP, None],
+        act[:, None], has[:, None].astype(jnp.float32),
+    ], axis=-1)
+    img = jnp.where(has[:, None], img, 0.0)
+    return img.reshape(h, w, ATTR_CHANNELS)
 
 
 def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
@@ -274,23 +330,17 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     ray = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
     ray_len = jnp.linalg.norm(ray, axis=-1)
 
-    # --- association over 3x3 window: gather candidate ids per tap (narrow)
-    # then ONE wide row-gather for all 9 taps ---
-    flat_idx = index_map.reshape(P)
-    yi = yy.reshape(P).astype(jnp.int32)
-    xi = xx.reshape(P).astype(jnp.int32)
-    cand_ids = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            vv = jnp.clip(yi + dy, 0, h - 1)
-            uu = jnp.clip(xi + dx, 0, w - 1)
-            cand_ids.append(flat_idx[vv * w + uu])
-    cand = jnp.stack(cand_ids, axis=1)                     # (P, 9)
-    has = cand >= 0
-    cs = jnp.clip(cand, 0, n_cap - 1)
-    rows_c = m.data[cs.reshape(-1)].reshape(P, 9, N_CHANNELS)
-    cpos = rows_c[..., POS] @ pose_inv_R.T + pose_inv_t    # (P,9,3) camera
-    cnrm = rows_c[..., NORMAL] @ pose_inv_R.T
+    # --- association over a 3x3 window: one attr-image render, then pure
+    # streaming patch extraction (the GL data.vert texture fetches) ---
+    from ..ops.patches import extract_patches
+
+    pose_inv = jnp.eye(4).at[:3, :3].set(pose_inv_R).at[:3, 3].set(pose_inv_t)
+    attr = render_attr_image(m, index_map, pose_inv)
+    patch = extract_patches(attr, 1).reshape(P, 9, ATTR_CHANNELS)
+    cand = extract_patches(index_map, 1, fill=-1).reshape(P, 9)
+    has = (cand >= 0) & (patch[..., A_VALID] > 0.5)
+    cpos = patch[..., A_POS]                               # (P,9,3) camera
+    cnrm = patch[..., A_NRM]
 
     depth_ok = jnp.abs(cpos[..., 2] * lam[:, None]
                        - (v_local[:, 2] * lam)[:, None]) < cfg.depth_consistency
@@ -375,27 +425,26 @@ def clean(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
 
     xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
-    flat_idx = index_map.reshape(h * w)
+
+    # one attr-image render + pre-extracted 3x3 patches; each surfel then
+    # needs only a single row gather of its pixel's 9-tap patch
+    from ..ops.patches import extract_patches
+
+    pose_inv = jnp.eye(4).at[:3, :3].set(pose_inv_R).at[:3, 3].set(pose_inv_t)
+    attr = render_attr_image(m, index_map, pose_inv, active=active)
+    patch_img = extract_patches(attr, 1).reshape(h * w, 9 * ATTR_CHANNELS)
+    rows9 = patch_img[yi * w + xi].reshape(n, 9, ATTR_CHANNELS)
 
     taps = [(-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
             (0, -1, 2), (0, 0, 4), (0, 1, 2),
             (1, -1, 1), (1, 0, 2), (1, 1, 1)]
-    cand_ids = []
-    for dy, dx, _ in taps:
-        vv = jnp.clip(yi + dy, 0, h - 1)
-        uu = jnp.clip(xi + dx, 0, w - 1)
-        cand_ids.append(flat_idx[vv * w + uu])
-    cand = jnp.stack(cand_ids, axis=1)                     # (N, 9)
     wgt = jnp.array([t[2] for t in taps], jnp.int32)
-    has = in_view[:, None] & (cand >= 0)
-    cs = jnp.clip(cand, 0, n - 1)
-    # one wide gather for all the candidate attributes we test
-    rows_c = m.data[cs.reshape(-1)].reshape(n, 9, N_CHANNELS)
-    cpos_z = (rows_c[..., POS] @ pose_inv_R.T + pose_inv_t)[..., 2]
-    cpos_xy = (rows_c[..., POS] @ pose_inv_R.T + pose_inv_t)[..., :2]
-    c_conf = rows_c[..., CONF]
-    c_init = rows_c[..., INIT_TIME]
-    c_stamp = rows_c[..., STAMP]
+    has = in_view[:, None] & (rows9[..., A_VALID] > 0.5)
+    cpos_z = rows9[..., A_POS][..., 2]
+    cpos_xy = rows9[..., A_POS][..., :2]
+    c_conf = rows9[..., A_CONF]
+    c_init = rows9[..., A_INIT]
+    c_stamp = rows9[..., A_STAMP]
 
     stable = c_conf > cfg.confidence_threshold
     behind = cpos_z > lz[:, None]
@@ -405,7 +454,7 @@ def clean(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
         (cpos_z - lz[:, None] < 0.01) & overlap
     count = jnp.sum(jnp.where(red, wgt[None, :], 0), axis=1)
 
-    act_ok = True if active is None else active[cs]
+    act_ok = rows9[..., A_ACTIVE] > 0.5
     fs = has & (c_stamp == jnp.float32(time)) & stable & behind & \
         (cpos_z - lz[:, None] > 0.01) & (jnp.abs(local_nz) > 0.85)[:, None] & act_ok
     zcount = jnp.sum(jnp.where(fs, wgt[None, :], 0), axis=1)

@@ -29,7 +29,7 @@ from ..core import camera
 from . import hrbf
 from .preprocess import CurvatureResult, VertexNormalRadius, _smallest_eigvec_3x3, surfel_radius
 
-_BH = 48  # rows per grid block
+_BH = 16  # rows per grid block (small enough that unrolled-tap live ranges fit VMEM)
 
 
 def _expand_rows(x: jnp.ndarray, bh: int, r: int) -> jnp.ndarray:
@@ -107,8 +107,6 @@ def bilateral_filter(depth: jnp.ndarray, cfg: SLAMConfig,
 def _pca_kernel(vin_ref, out_ref, *, R, W, depth_min):
     D = 2 * R + 1
     bh = out_ref.shape[1]
-    cx = vin_ref[0, 0, R:R + bh, R:R + W]
-    cy = vin_ref[0, 1, R:R + bh, R:R + W]
     cz = vin_ref[0, 2, R:R + bh, R:R + W]
 
     zero = jnp.zeros((bh, W), jnp.float32)
@@ -133,21 +131,10 @@ def _pca_kernel(vin_ref, out_ref, *, R, W, depth_min):
             syz += ny * nz * m
             szz += nz * nz * m
             cnt += m
-    inv = 1.0 / jnp.maximum(cnt, 1.0)
-    mx, my, mz = sx * inv, sy * inv, sz * inv
-    # covariance entries
-    A = jnp.stack([
-        jnp.stack([sxx * inv - mx * mx, sxy * inv - mx * my, sxz * inv - mx * mz], -1),
-        jnp.stack([sxy * inv - mx * my, syy * inv - my * my, syz * inv - my * mz], -1),
-        jnp.stack([sxz * inv - mx * mz, syz * inv - my * mz, szz * inv - mz * mz], -1),
-    ], -2)
-    n = _smallest_eigvec_3x3(A)
-    n = n * jnp.where(n[..., 2:3] < 0, -1.0, 1.0)
-    ok = (cnt >= 8) & (cz > depth_min)
-    n = jnp.where(ok[..., None], n, 0.0)
-    out_ref[0, :, :, 0] = n[..., 0]
-    out_ref[0, :, :, 1] = n[..., 1]
-    out_ref[0, :, :, 2] = n[..., 2]
+    # emit the raw moment sums; the eigen solve (atan2 — not lowered by
+    # Mosaic) runs as cheap elementwise XLA outside the kernel
+    for i, val in enumerate((sx, sy, sz, sxx, sxy, sxz, syy, syz, szz, cnt)):
+        out_ref[0, :, :, i] = val
 
 
 def normal_pca(vertex_f: jnp.ndarray, cfg: SLAMConfig,
@@ -169,12 +156,28 @@ def normal_pca(vertex_f: jnp.ndarray, cfg: SLAMConfig,
         in_specs=[pl.BlockSpec((1, 3, _BH + 2 * R, w + 2 * R),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, _BH, w, 3), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, _BH, w, 10), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, _BH, w, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, _BH, w, 10), jnp.float32),
         interpret=interpret,
     )(blocks)
-    return _unexpand(out, h)
+    acc = _unexpand(out, h)
+    sx, sy, sz = acc[..., 0], acc[..., 1], acc[..., 2]
+    sxx, sxy, sxz = acc[..., 3], acc[..., 4], acc[..., 5]
+    syy, syz, szz = acc[..., 6], acc[..., 7], acc[..., 8]
+    cnt = acc[..., 9]
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    mx, my, mz = sx * inv, sy * inv, sz * inv
+    A = jnp.stack([
+        jnp.stack([sxx * inv - mx * mx, sxy * inv - mx * my, sxz * inv - mx * mz], -1),
+        jnp.stack([sxy * inv - mx * my, syy * inv - my * my, syz * inv - my * mz], -1),
+        jnp.stack([sxz * inv - mx * mz, syz * inv - my * mz, szz * inv - mz * mz], -1),
+    ], -2)
+    n = _smallest_eigvec_3x3(A)
+    n = n * jnp.where(n[..., 2:3] < 0, -1.0, 1.0)
+    cz = vertex_f[..., 2]
+    ok = (cnt >= 8) & (cz > cfg.depth_min)
+    return jnp.where(ok[..., None], n, 0.0)
 
 
 # ---------------------------------------------------------------------- #

@@ -61,56 +61,44 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
     """Ray-cast the HRBF implicit through the rendered index map."""
     h, w = intr.height, intr.width
     P = h * w
-    K = cfg.predict_gather_k
+    K = cfg.predict_max_neighbors  # frag:108 neighbor cap, ring-ordered
     R = cfg.predict_window_multiplier
 
-    # ---- neighbor gather: first K valid candidates in ring order ----
-    yy, xx = camera.pixel_grid(h, w)
-    yi = yy.reshape(P).astype(jnp.int32)
-    xi = xx.reshape(P).astype(jnp.int32)
-    flat_idx = index_map.reshape(P)
+    # ---- neighbor collection: one attr-image render + streaming patch
+    # extraction in ring order (no per-tap dynamic gathers, no sort) ----
+    from ..map import surfel_map as smod
+    from .patches import extract_patches
 
+    yy, xx = camera.pixel_grid(h, w)
     offs = _ring_offsets(R)
     n_off = len(offs)
-    cand = jnp.zeros((P, n_off), jnp.int32)
-    for k, (dy, dx) in enumerate(offs):
-        vv = yi + dy
-        uu = xi + dx
-        inb = (vv >= 0) & (vv < h) & (uu >= 0) & (uu < w)
-        c = flat_idx[jnp.clip(vv, 0, h - 1) * w + jnp.clip(uu, 0, w - 1)]
-        cand = cand.at[:, k].set(jnp.where(inb, c, -1))
+    # permutation mapping extract_patches' row-major order to ring order
+    D = 2 * R + 1
+    perm = jnp.array([(dy + R) * D + (dx + R) for dy, dx in offs], jnp.int32)
 
-    from ..map import surfel_map as smod
-
-    cs = jnp.clip(cand, 0, m.data.shape[0] - 1)
-    Rr = pose_inv[:3, :3]
-    tt = pose_inv[:3, 3]
-    # one wide row-gather of the packed surfel attributes for all taps
-    rows_c = m.data[cs.reshape(-1)].reshape(P, n_off, smod.N_CHANNELS)
-    nb_pos = rows_c[..., smod.POS] @ Rr.T + tt     # camera frame (P, n_off, 3)
-    nb_nrm = rows_c[..., smod.NORMAL] @ Rr.T
-    nb_conf = rows_c[..., smod.CONF]
+    attr = smod.render_attr_image(m, index_map, pose_inv)
+    cand = extract_patches(index_map, R, fill=-1).reshape(P, D * D)[:, perm]
+    ap = extract_patches(attr, R).reshape(P, D * D, smod.ATTR_CHANNELS)[:, perm]
+    nb_pos = ap[..., smod.A_POS]                   # camera frame (P, n_off, 3)
+    nb_nrm = ap[..., smod.A_NRM]
+    nb_conf = ap[..., smod.A_CONF]
 
     # stability filter (frag:94-99): z>0.1, |n|>0.1, conf>=thresh, n_z>0
     ok = (
-        (cand >= 0)
+        (cand >= 0) & (ap[..., smod.A_VALID] > 0.5)
         & (nb_pos[..., 2] > 0.1)
         & (jnp.sum(nb_nrm * nb_nrm, axis=-1) > 0.01)
         & (nb_conf >= cfg.predict_conf_threshold)
         & (nb_nrm[..., 2] > 0.0)
     )
 
-    # first-K-valid in ring order via rank compaction
+    # cap at predict_max_neighbors in ring order by masking (frag:108) —
+    # masking keeps the window-wide arrays but avoids any compaction sort
     rank = jnp.cumsum(ok.astype(jnp.int32), axis=-1) - 1
-    sort_key = jnp.where(ok & (rank < K), rank, n_off + 1)
-    order = jnp.argsort(sort_key, axis=-1)[:, :K]
-    take = jnp.take_along_axis
-
-    sel_ok = take(sort_key, order, axis=1) <= n_off
-    sel_rows = take(rows_c, order[..., None], axis=1)  # (P, K, 24)
-    sel_pos = take(nb_pos, order[..., None], axis=1)
-    sel_nrm = take(nb_nrm, order[..., None], axis=1)
-    sel_rad = sel_rows[..., smod.RADIUS]
+    sel_ok = ok & (rank < K)
+    sel_pos = nb_pos
+    sel_nrm = nb_nrm
+    sel_rad = ap[..., smod.A_RADIUS]
     n_neighbors = jnp.sum(sel_ok, axis=-1)
 
     # ---- viewing rays ----
@@ -200,9 +188,13 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
     )
     p_surf, nrm, nearest, found = [o.reshape(-1, *o.shape[2:])[:P] for o in outs]
 
-    near_rows = take(sel_rows, nearest[:, None, None], axis=1)[:, 0]  # (P,24)
+    # nearest-surfel attributes: one (P, 24) row gather for the whole image
+    take = jnp.take_along_axis
+    near_id = take(cand, nearest[:, None], axis=1)[:, 0]
     near_ok = take(sel_ok, nearest[:, None], axis=1)[:, 0]
     found = found & near_ok
+    near_rows = m.data[jnp.clip(near_id, 0, m.data.shape[0] - 1)]
+    Rr = pose_inv[:3, :3]
 
     conf = jnp.where(found, near_rows[:, smod.CONF], 0.0)
     radius = jnp.where(found, near_rows[:, smod.RADIUS], 0.0)
