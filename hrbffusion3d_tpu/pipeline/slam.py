@@ -38,6 +38,8 @@ class SLAMState(NamedTuple):
     pred_normal: jnp.ndarray
     pred_intensity: jnp.ndarray   # (H,W) predicted grey
     pred_icp_weight: jnp.ndarray  # (H,W)
+    pred_k1: jnp.ndarray          # (H,W) predicted curvature (corr. search)
+    pred_k2: jnp.ndarray
     last_icp_error: jnp.ndarray
     last_icp_count: jnp.ndarray
     dense_frac: jnp.ndarray       # () denseEnough indicator of last predict
@@ -95,6 +97,7 @@ def bootstrap(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig,
         pred_vertex=filled.vertex, pred_normal=filled.normal,
         pred_intensity=pyramid.rgb_to_intensity(filled.color),
         pred_icp_weight=filled.icp_weight,
+        pred_k1=filled.k1, pred_k2=filled.k2,
         last_icp_error=jnp.float32(0), last_icp_count=jnp.float32(0),
         dense_frac=jnp.mean(filled.from_model.astype(jnp.float32)),
     )
@@ -119,6 +122,10 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
         prev_R=state.R, prev_t=state.t,
         prev_intensity=state.prev_intensity,
         cfg=cfg,
+        **({
+            "next_k1": curv.k1, "next_k2": curv.k2,
+            "pred_k1": state.pred_k1, "pred_k2": state.pred_k2,
+        } if cfg.icp_use_correspondence_search else {}),
     )
     tr = odometry.track(state.R, state.t, inp, intr, cfg)
     pose = lie.rt_to_mat(tr.R, tr.t)
@@ -153,6 +160,7 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
         pred_vertex=filled.vertex, pred_normal=filled.normal,
         pred_intensity=pyramid.rgb_to_intensity(filled.color),
         pred_icp_weight=filled.icp_weight,
+        pred_k1=filled.k1, pred_k2=filled.k2,
         last_icp_error=tr.icp_error, last_icp_count=tr.icp_count,
         dense_frac=jnp.mean(filled.from_model.astype(jnp.float32)),
     )

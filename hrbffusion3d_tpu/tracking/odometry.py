@@ -45,6 +45,12 @@ class TrackingInputs(NamedTuple):
     last_nmap_g: tuple
     icp_weight: tuple
     prev_intensity: tuple
+    # curvature pyramids for the correspondence-search scoring term
+    # (reduce.cu:415-422); built only when cfg.icp_use_correspondence_search
+    next_k1: tuple = ()
+    next_k2: tuple = ()
+    last_k1: tuple = ()
+    last_k2: tuple = ()
 
 
 def build_pyramid_scalar(x0: jnp.ndarray, levels: int, down) -> tuple:
@@ -66,6 +72,8 @@ def build_inputs(
     prev_R: jnp.ndarray, prev_t: jnp.ndarray,  # prev pose (world<-cam)
     prev_intensity: jnp.ndarray,    # (H,W) previous live frame grey
     cfg: SLAMConfig,
+    next_k1: jnp.ndarray | None = None, next_k2: jnp.ndarray | None = None,
+    pred_k1: jnp.ndarray | None = None, pred_k2: jnp.ndarray | None = None,
 ) -> TrackingInputs:
     """Build all pyramids; transforms the model prediction into world frame
     with the previous pose (initICPModel semantics)."""
@@ -89,6 +97,12 @@ def build_inputs(
         last_nmap_g=build_pyramid_scalar(nmap_g, L, lambda m: pyr_ops.resize_map(m, normalize=True)),
         icp_weight=build_pyramid_scalar(icp_weight, L, pyr_ops.resize_scalar_map),
         prev_intensity=build_pyramid_scalar(prev_intensity, L, pyr_ops.pyr_down_intensity),
+        **({
+            "next_k1": build_pyramid_scalar(next_k1, L, pyr_ops.resize_scalar_map),
+            "next_k2": build_pyramid_scalar(next_k2, L, pyr_ops.resize_scalar_map),
+            "last_k1": build_pyramid_scalar(pred_k1, L, pyr_ops.resize_scalar_map),
+            "last_k2": build_pyramid_scalar(pred_k2, L, pyr_ops.resize_scalar_map),
+        } if (cfg.icp_use_correspondence_search and next_k1 is not None) else {}),
     )
 
 
@@ -221,10 +235,15 @@ def track(
                       "rgb_c": corres.count}
 
             if use_icp:
+                has_curv = len(inp.next_k1) > 0
                 icp_res = icp_ops.icp_step(
                     R_curr, t_curr, prev_R_inv, prev_t,
                     inp.next_vmap[lvl], inp.next_nmap[lvl],
                     model_rows, li, cfg,
+                    k1_curr=inp.next_k1[lvl] if has_curv else None,
+                    k2_curr=inp.next_k2[lvl] if has_curv else None,
+                    k1_prev=inp.last_k1[lvl] if has_curv else None,
+                    k2_prev=inp.last_k2[lvl] if has_curv else None,
                 )
                 w = cfg.icp_weight if use_rgb else 1.0
                 A = A + (w * w) * icp_res.A
