@@ -398,10 +398,10 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     return _append(m, new_rows, new_mask)
 
 
-def clean(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
-          intr: CameraIntrinsics, cfg: SLAMConfig, time,
-          active: jnp.ndarray | None = None) -> SurfelMap:
-    """Outlier/redundancy culling + compaction (copy_unstable.vert:62-166).
+def clean_mask(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
+               intr: CameraIntrinsics, cfg: SLAMConfig, time,
+               active: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Survival mask of the cleaning pass (copy_unstable.vert:62-166).
 
     Kill rules per surfel:
       - curvature invalid (l.143-147)
@@ -468,7 +468,34 @@ def clean(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
         (m.data[:, CONF] < cfg.confidence_threshold)
 
     keep = m.valid & ~curv_bad & ~crowd_kill & ~unstable_kill
-    return compact(m, keep)
+    return keep
+
+
+def clean(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
+          intr: CameraIntrinsics, cfg: SLAMConfig, time,
+          active: jnp.ndarray | None = None) -> SurfelMap:
+    """Cleaning pass + stream compaction (see clean_mask / compact)."""
+    return compact(m, clean_mask(m, pose, index_map, intr, cfg, time, active))
+
+
+def clean_with_remap(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
+                     intr: CameraIntrinsics, cfg: SLAMConfig, time,
+                     active: jnp.ndarray | None = None):
+    """clean() + (old index -> new index, -1 if killed) remap so the caller
+    can translate an existing index map instead of re-rendering (prediction
+    filters out fresh unstable surfels by confidence anyway, so a remapped
+    post-fuse render is prediction-equivalent to a fresh post-clean one)."""
+    keep = clean_mask(m, pose, index_map, intr, cfg, time, active)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    remap = jnp.where(keep, rank, -1)
+    return compact(m, keep), remap
+
+
+def remap_index_map(index_map: jnp.ndarray, remap: jnp.ndarray) -> jnp.ndarray:
+    """Translate a pre-compaction index map through a clean_with_remap
+    remap (-1 entries stay -1)."""
+    safe = jnp.clip(index_map, 0, remap.shape[0] - 1)
+    return jnp.where(index_map >= 0, remap[safe], -1)
 
 
 def compact(m: SurfelMap, keep: jnp.ndarray) -> SurfelMap:

@@ -143,11 +143,13 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
     m = sm.fuse(state.map, meas, pose, idx, intr, cfg, time=time,
                 submap_idx=state.submap_idx)
     idx2 = sm.render_index(m, pose_inv, intr)
-    m = sm.clean(m, pose, idx2, intr, cfg, time=time)
+    m, remap = sm.clean_with_remap(m, pose, idx2, intr, cfg, time=time)
 
     # ---- PREDICTION (l.1233, predict() 1244-1260) ----
-    idx3 = sm.render_index(m, pose_inv, intr,
-                           conf_threshold=None)
+    # translate the post-fuse render through the compaction instead of a
+    # third full z-buffer render (IndexMap::predictIndices); fresh unstable
+    # surfels are below the prediction confidence threshold either way
+    idx3 = sm.remap_index_map(idx2, remap)
     pred = raycast.predict_hrbf(m, pose_inv, idx3, intr, cfg, chunk=cfg.raycast_chunk)
     filled = raycast.fill_in(
         pred, pre.vertex_filtered, pre.normal, pre.radius, frame.rgb,
