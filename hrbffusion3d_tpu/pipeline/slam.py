@@ -139,10 +139,12 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
     meas = sm.measurement_from_preprocess(pre, curv, frame.rgb, conf)
 
     # ---- FUSION (l.1192-1227) ----
+    # ONE z-buffer render per frame: fuse updates the index map in place
+    # (new surfels at their own pixels), clean translates it through the
+    # compaction remap for prediction
     idx = sm.render_index(state.map, pose_inv, intr)
-    m = sm.fuse(state.map, meas, pose, idx, intr, cfg, time=time,
-                submap_idx=state.submap_idx)
-    idx2 = sm.render_index(m, pose_inv, intr)
+    m, idx2 = sm.fuse(state.map, meas, pose, idx, intr, cfg, time=time,
+                      submap_idx=state.submap_idx)
     m, remap = sm.clean_with_remap(m, pose, idx2, intr, cfg, time=time)
 
     # ---- PREDICTION (l.1233, predict() 1244-1260) ----

@@ -71,7 +71,7 @@ def test_fuse_merges_not_grows():
     c0 = int(m.count)
     conf0 = float(jnp.sum(m.conf * m.valid))
     idx = sm.render_index(m, jnp.eye(4), INTR)
-    m2 = sm.fuse(m, meas, pose, idx, INTR, CFG, time=1, submap_idx=0)
+    m2, _ = sm.fuse(m, meas, pose, idx, INTR, CFG, time=1, submap_idx=0)
     c1 = int(m2.count)
     # same-frame refusion: nearly all checkerboard pixels merge
     assert c1 - c0 < 0.02 * c0, (c0, c1)
@@ -87,7 +87,7 @@ def test_fuse_adds_new_on_novel_view():
     poseB = np.asarray(lie.se3_exp(jnp.array([0, 0, 0, 0.0, 0.5, 0.0])), np.float32)
     measB, _ = _measure(poseB)
     idx = sm.render_index(m, jnp.asarray(np.linalg.inv(poseB)), INTR)
-    m2 = sm.fuse(m, measB, jnp.asarray(poseB), idx, INTR, CFG, time=2, submap_idx=0)
+    m2, _ = sm.fuse(m, measB, jnp.asarray(poseB), idx, INTR, CFG, time=2, submap_idx=0)
     assert int(m2.count) > c0 + 100
 
 
