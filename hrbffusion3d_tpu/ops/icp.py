@@ -77,9 +77,26 @@ def pack_model(vmap_g: jnp.ndarray, nmap_g: jnp.ndarray,
 
 
 def pack_last(last_depth: jnp.ndarray, last_intensity: jnp.ndarray) -> jnp.ndarray:
-    """(H,W)x2 -> (H*W, 2) packed [depth | intensity] rows for rgb passes."""
-    P = last_depth.size
-    return jnp.stack([last_depth.reshape(P), last_intensity.reshape(P)], axis=-1)
+    """(H,W)x2 -> (H*W, 8) rows packing the 2x2 bilinear footprint
+    [d00,i00,d01,i01,d10,i10,d11,i11] via shifted copies, so the photometric
+    pass fetches all four corners with ONE row gather at the floor coords."""
+    h, w = last_depth.shape
+    P = h * w
+
+    def sh(x, dy, dx):
+        out = jnp.roll(x, (-dy, -dx), axis=(0, 1))
+        if dy:
+            out = out.at[-dy:, :].set(0.0)
+        if dx:
+            out = out.at[:, -dx:].set(0.0)
+        return out.reshape(P)
+
+    return jnp.stack([
+        last_depth.reshape(P), last_intensity.reshape(P),
+        sh(last_depth, 0, 1), sh(last_intensity, 0, 1),
+        sh(last_depth, 1, 0), sh(last_intensity, 1, 0),
+        sh(last_depth, 1, 1), sh(last_intensity, 1, 1),
+    ], axis=-1)
 
 
 def rgb_static_valid(next_image: jnp.ndarray, d_idx: jnp.ndarray,
@@ -268,24 +285,20 @@ def rgb_residual(
     au = u0f - u0.astype(jnp.float32)
     av = v0f - v0.astype(jnp.float32)
 
-    def corner(dv, du):
-        flat = jnp.clip(v0 + dv, 0, h - 1) * w + jnp.clip(u0 + du, 0, w - 1)
-        return last_rows[flat]                       # (N, 2)
+    # ONE row gather fetches the whole 2x2 footprint (pack_last layout)
+    flat = jnp.clip(v0, 0, h - 1) * w + jnp.clip(u0, 0, w - 1)
+    c = last_rows[flat]                              # (N, 8)
+    d00, i00, d01, i01, d10, i10, d11, i11 = (c[:, k] for k in range(8))
 
-    c00 = corner(0, 0)
-    c01 = corner(0, 1)
-    c10 = corner(1, 0)
-    c11 = corner(1, 1)
-
-    i_last = (c00[:, 1] * (1 - au) * (1 - av) + c01[:, 1] * au * (1 - av)
-              + c10[:, 1] * (1 - au) * av + c11[:, 1] * au * av)
+    i_last = (i00 * (1 - au) * (1 - av) + i01 * au * (1 - av)
+              + i10 * (1 - au) * av + i11 * au * av)
     # nearest-corner depth (the reference rounds, reduce.cu:1032)
     near_u = au > 0.5
     near_v = av > 0.5
     d0 = jnp.where(
         near_v,
-        jnp.where(near_u, c11[:, 0], c10[:, 0]),
-        jnp.where(near_u, c01[:, 0], c00[:, 0]),
+        jnp.where(near_u, d11, d10),
+        jnp.where(near_u, d01, d00),
     )
 
     i_next = next_image.reshape(n_pix)

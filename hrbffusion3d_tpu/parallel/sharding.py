@@ -53,6 +53,7 @@ def state_sharding(mesh: Mesh) -> SLAMState:
         prev_intensity=img,
         pred_vertex=img, pred_normal=img, pred_intensity=img,
         pred_icp_weight=img, pred_k1=img, pred_k2=img,
+        active_submaps=rep,
         last_icp_error=rep, last_icp_count=rep, dense_frac=rep,
     )
 

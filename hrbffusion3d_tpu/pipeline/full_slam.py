@@ -76,7 +76,13 @@ class FullSLAM:
             if cfg.use_local_ba and self.backend.need_new_keyframe(time):
                 intensity, depth_f = self._kf_inputs(frame)
                 kf_id = self.backend.insert_keyframe(intensity, depth_f, pose, time)
-                self.state = self.state._replace(submap_idx=jnp.int32(kf_id))
+                # refresh the active (covisible) keyframe set that masks
+                # dense prediction/fusion/cleaning (HRBFFusion.cpp:1160-1170)
+                self.state = self.state._replace(
+                    submap_idx=jnp.int32(kf_id),
+                    active_submaps=jnp.asarray(
+                        self.backend.active_submap_mask(kf_id, cfg.max_submaps)),
+                )
                 deltas = self.backend.local_ba()
                 if deltas is not None:
                     self._apply_correction(deltas, kf_id)

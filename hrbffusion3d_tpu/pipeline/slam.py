@@ -40,6 +40,9 @@ class SLAMState(NamedTuple):
     pred_icp_weight: jnp.ndarray  # (H,W)
     pred_k1: jnp.ndarray          # (H,W) predicted curvature (corr. search)
     pred_k2: jnp.ndarray
+    active_submaps: jnp.ndarray   # (max_submaps,) bool — covisible-KF set
+                                  # masking render/fusion/clean
+                                  # (index_map.vert:41-51, HRBFFusion.cpp:1160-1170)
     last_icp_error: jnp.ndarray
     last_icp_count: jnp.ndarray
     dense_frac: jnp.ndarray       # () denseEnough indicator of last predict
@@ -98,6 +101,7 @@ def bootstrap(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig,
         pred_intensity=pyramid.rgb_to_intensity(filled.color),
         pred_icp_weight=filled.icp_weight,
         pred_k1=filled.k1, pred_k2=filled.k2,
+        active_submaps=jnp.ones((cfg.max_submaps,), bool),
         last_icp_error=jnp.float32(0), last_icp_count=jnp.float32(0),
         dense_frac=jnp.mean(filled.from_model.astype(jnp.float32)),
     )
@@ -142,10 +146,13 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
     # ONE z-buffer render per frame: fuse updates the index map in place
     # (new surfels at their own pixels), clean translates it through the
     # compaction remap for prediction
-    idx = sm.render_index(state.map, pose_inv, intr)
+    active = sm.active_from_submaps(state.map, state.active_submaps)
+    idx = sm.render_index(state.map, pose_inv, intr, active=active)
     m, idx2 = sm.fuse(state.map, meas, pose, idx, intr, cfg, time=time,
                       submap_idx=state.submap_idx)
-    m, remap = sm.clean_with_remap(m, pose, idx2, intr, cfg, time=time)
+    m, remap = sm.clean_with_remap(
+        m, pose, idx2, intr, cfg, time=time,
+        active=sm.active_from_submaps(m, state.active_submaps))
 
     # ---- PREDICTION (l.1233, predict() 1244-1260) ----
     # translate the post-fuse render through the compaction instead of a
@@ -165,6 +172,7 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
         pred_intensity=pyramid.rgb_to_intensity(filled.color),
         pred_icp_weight=filled.icp_weight,
         pred_k1=filled.k1, pred_k2=filled.k2,
+        active_submaps=state.active_submaps,
         last_icp_error=tr.icp_error, last_icp_count=tr.icp_count,
         dense_frac=jnp.mean(filled.from_model.astype(jnp.float32)),
     )
