@@ -1,3 +1,6 @@
+# NOTE: named test_aa_* so the 8-device GSPMD compile runs FIRST in the
+# pytest process - after ~90 accumulated compiled executables the XLA CPU
+# client segfaults on this compile (passes in isolation).
 """Sharded full-step equivalence: the GSPMD-sharded SLAM step on the 8-device
 mesh must produce the same result as the single-device step (map-domain
 decomposition correctness, SURVEY §2.14)."""
