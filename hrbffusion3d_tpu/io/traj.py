@@ -112,3 +112,41 @@ def load_zhou(path: str) -> np.ndarray:
         if i >= len(lines):
             break
     return np.stack(poses)
+
+
+def load_icl_nuim_rt(path: str) -> np.ndarray:
+    """ICL_NUIM 'RT' format (TrajectoryManager.cpp:96-126): 3 lines of 4
+    floats per frame (3x4 matrix rows), basis-changed by
+    diag(-1,1,1) * T * diag(1,-1,1)."""
+    vals = np.array(open(path).read().split(), np.float64)
+    n = vals.size // 12
+    poses = []
+    t1 = np.diag([-1.0, 1.0, 1.0, 1.0])
+    tr = np.diag([1.0, -1.0, 1.0, 1.0])
+    for i in range(n):
+        rows = vals[i * 12:(i + 1) * 12].reshape(3, 4)
+        T = np.eye(4)
+        T[:3, :4] = rows
+        poses.append(t1 @ T @ tr)
+    return np.stack(poses)
+
+
+def load_lefloch(path: str) -> np.ndarray:
+    """lefloch (TPAMI'17) format (TrajectoryManager.cpp:127-153): per line
+    'index' + 16 floats in COLUMN-major order, right-multiplied by the
+    dataset's calibration pose_init."""
+    pose_init = np.array([
+        [1.000000, -0.000228, 0.000007, 0.023992],
+        [-0.000228, -0.999970, 0.007753, 0.003886],
+        [0.000005, -0.007753, -0.999970, -0.001633],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+    poses = []
+    for line in open(path):
+        parts = line.split()
+        if len(parts) < 17:
+            continue
+        v = np.array([float(x) for x in parts[1:17]])
+        T = v.reshape(4, 4, order="F")  # file stores column-major
+        poses.append(T @ pose_init)
+    return np.stack(poses)

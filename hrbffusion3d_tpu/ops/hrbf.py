@@ -248,3 +248,32 @@ def principal_curvatures(gradient: jnp.ndarray, hessian: jnp.ndarray):
     k1 = jnp.where(valid, k1, sentinel)
     k2 = jnp.where(valid, k2, sentinel)
     return k1, k2, dir1, dir2, valid
+
+
+def hrbf_projection(
+    x: jnp.ndarray,
+    nb_pos: jnp.ndarray,
+    nb_normal: jnp.ndarray,
+    nb_support: jnp.ndarray,
+    nb_mask: jnp.ndarray,
+    iterations: int = 3,
+) -> jnp.ndarray:
+    """MLS-style projection of x onto the implicit surface
+    (hrbfbase.glsl:197-242, debug/utility in the reference): iterate
+    x <- x - <n, x - weighted_mean> n with n = normalized HRBF gradient and
+    a narrow Gaussian (sigma^2 = 1e-4) neighborhood mean."""
+
+    def body(_, p):
+        v = p[..., None, :] - nb_pos
+        d2 = jnp.sum(v * v, axis=-1)
+        w = jnp.where(nb_mask, jnp.exp(-d2 / 1e-4), 0.0)
+        wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-20)
+        mean = jnp.sum(w[..., None] * nb_pos, axis=-2) / wsum
+        g = hrbf_gradient(p, nb_pos, nb_normal, nb_support, nb_mask)
+        gn = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+        s = jnp.sum(gn * (p - mean), axis=-1, keepdims=True)
+        return p - s * gn
+
+    import jax
+
+    return jax.lax.fori_loop(0, iterations, body, x)

@@ -29,7 +29,7 @@ from ..core import camera
 from . import hrbf
 from .preprocess import CurvatureResult, VertexNormalRadius, _smallest_eigvec_3x3, surfel_radius
 
-_BH = 16  # rows per grid block (small enough that unrolled-tap live ranges fit VMEM)
+_BH = 8  # rows per grid block (Mosaic stack-allocates unrolled-tap temps; 16 rows x 49-tap x 10 accumulators exceeded the 16 MB scoped VMEM)
 
 
 def _expand_rows(x: jnp.ndarray, bh: int, r: int) -> jnp.ndarray:

@@ -20,3 +20,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 assert jax.devices()[0].platform == "cpu"
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """XLA's CPU client segfaults on large compilations late in a long
+    pytest process (reproduced on several heavy e2e modules once ~90 tests
+    of compiled executables have accumulated); dropping the compilation
+    caches between modules keeps peak compiler state bounded."""
+    yield
+    jax.clear_caches()

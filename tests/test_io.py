@@ -71,3 +71,54 @@ def test_ply_export(tmp_path):
     assert n == int(m.count)
     pos = ply.load_ply_positions(p)
     np.testing.assert_allclose(pos, np.asarray(m.pos[:n]), atol=1e-5)
+
+
+def test_icl_nuim_rt_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    from hrbffusion3d_tpu.core import lie
+
+    gt = [np.asarray(lie.se3_exp(jnp.asarray(rng.normal(0, 0.2, 6), jnp.float32)))
+          for _ in range(4)]
+    p = str(tmp_path / "traj_rt.txt")
+    t1 = np.diag([-1.0, 1.0, 1.0, 1.0])
+    tr = np.diag([1.0, -1.0, 1.0, 1.0])
+    with open(p, "w") as f:
+        for T in gt:
+            # file stores the raw matrix; loader applies t1 @ T @ tr
+            raw = np.linalg.inv(t1) @ T @ np.linalg.inv(tr)
+            for r in range(3):
+                f.write(" ".join(f"{raw[r, c]:.8f}" for c in range(4)) + "\n")
+    poses = traj.load_icl_nuim_rt(p)
+    np.testing.assert_allclose(poses, np.stack(gt), atol=1e-5)
+
+
+def test_lefloch_format(tmp_path):
+    T = np.eye(4)
+    T[:3, 3] = [0.1, 0.2, 0.3]
+    p = str(tmp_path / "traj_lefloch.txt")
+    with open(p, "w") as f:
+        vals = " ".join(f"{v:.8f}" for v in T.flatten(order="F"))
+        f.write(f"0 {vals}\n")
+    poses = traj.load_lefloch(p)
+    assert poses.shape == (1, 4, 4)
+    # loader right-multiplies by the dataset calibration pose_init
+    pose_init = np.array([
+        [1.000000, -0.000228, 0.000007, 0.023992],
+        [-0.000228, -0.999970, 0.007753, 0.003886],
+        [0.000005, -0.007753, -0.999970, -0.001633],
+        [0.0, 0.0, 0.0, 1.0],
+    ])
+    np.testing.assert_allclose(poses[0], T @ pose_init, atol=1e-6)
+
+
+def test_hrbf_projection_onto_plane():
+    from hrbffusion3d_tpu.ops import hrbf
+
+    xs, ys = jnp.meshgrid(jnp.linspace(-0.3, 0.3, 7), jnp.linspace(-0.3, 0.3, 7))
+    pos = jnp.stack([xs.ravel(), ys.ravel(), jnp.ones(49)], axis=-1)
+    n = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (49, 1))
+    sup = jnp.full((49,), 0.3)
+    mask = jnp.ones((49,), bool)
+    x = jnp.array([0.02, -0.01, 1.04])
+    proj = hrbf.hrbf_projection(x, pos, n, sup, mask)
+    np.testing.assert_allclose(float(proj[2]), 1.0, atol=5e-3)
