@@ -70,11 +70,17 @@ class LoopCloser:
     """Host-side loop-closure driver over a SparseBackend keyframe graph."""
 
     def __init__(self, backend: SparseBackend, n_words: int = 512,
-                 min_score: float = 0.10, min_inliers: int = 20):
+                 min_score: float = 0.10, min_inliers: int = 20,
+                 consistency: int = 1):
         self.backend = backend
         self.db = bow.BowDatabase(n_words)
         self.min_score = min_score
         self.min_inliers = min_inliers
+        # DetectLoop requires the candidate region to be re-detected over
+        # ``mnCovisibilityConsistencyTh`` consecutive keyframes
+        # (LoopClosing.cc:169-234); consistency=1 disables the wait.
+        self.consistency = consistency
+        self._consistent_hits: dict[int, int] = {}
         self.loop_edges: list[tuple[int, int, np.ndarray]] = []
 
     # ------------------------------------------------------------------ #
@@ -88,6 +94,13 @@ class LoopCloser:
             return None
         best = int(np.argmax(scores))
         if scores[best] < self.min_score:
+            self._consistent_hits.clear()
+            return None
+        # consistency check over consecutive detections of the same region
+        region = best // 3  # coarse region bucket (covisibility stand-in)
+        hits = self._consistent_hits.get(region, 0) + 1
+        self._consistent_hits = {region: hits}
+        if hits < self.consistency:
             return None
         cand = self.backend.keyframes[best]
 
