@@ -48,7 +48,8 @@ class SparseBackend:
 
     def __init__(self, intr: CameraIntrinsics, cfg: SLAMConfig,
                  n_features: int = 1024, local_window: int = 5,
-                 fast_threshold: float = 12.0, sigma_px: float = 1.0):
+                 fast_threshold: float = 12.0, sigma_px: float = 1.0,
+                 mesh=None):
         self.intr = intr
         self.cfg = cfg
         self.n_features = n_features
@@ -57,6 +58,11 @@ class SparseBackend:
         # keypoint localisation noise fed to the information matrices; the
         # reference uses the ORB octave sigma (Optimizer.cc:1217)
         self.sigma_px = sigma_px
+        # optional jax.sharding.Mesh: run local BA with the landmark-sharded
+        # distributed Schur solver (parallel/dist_ba.py) instead of the
+        # single-device one
+        self.mesh = mesh
+        self._dist_opt = None
         self.keyframes: list[Keyframe] = []
         self.landmarks: dict[int, np.ndarray] = {}      # id -> world (3,)
         self.lm_obs: dict[int, list[tuple[int, int]]] = {}  # id -> [(kf, kp)]
@@ -212,10 +218,19 @@ class SparseBackend:
             edge_valid=jnp.ones((obs.shape[0],), jnp.float32),
             fixed=jnp.asarray(fixed),
         )
-        out, _ = ba.optimize(prob)
+        if self.mesh is not None:
+            from ..parallel import dist_ba
 
-        new_tcw = np.asarray(out.cams)
-        new_points = np.asarray(out.points)
+            if self._dist_opt is None:
+                self._dist_opt = dist_ba.make_optimizer(self.mesh)
+            sb = dist_ba.partition_problem(prob, self.mesh.devices.size)
+            cams_d, points_d, _ = self._dist_opt(sb)
+            new_tcw = np.asarray(cams_d)
+            new_points = dist_ba.gather_points(points_d, len(lm_sel))
+        else:
+            out, _ = ba.optimize(prob)
+            new_tcw = np.asarray(out.cams)
+            new_points = np.asarray(out.points)
 
         # write back + build dense-map deltas
         deltas = np.tile(np.eye(4, dtype=np.float32),

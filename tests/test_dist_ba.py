@@ -49,3 +49,42 @@ def test_distributed_exact_recovery():
     cams_d, points_d, chi = run(sb)
     assert _cam_err(np.asarray(cams_d), gt_cams) < 1e-3
     assert float(chi) < 1e-4
+
+
+def test_backend_local_ba_distributed_matches():
+    """SparseBackend.local_ba with a mesh (distributed Schur) agrees with
+    the single-device path — the integrated BASELINE config-4 story."""
+    import numpy as np
+
+    from hrbffusion3d_tpu.backend.keyframes import SparseBackend
+    from hrbffusion3d_tpu.config import CameraIntrinsics, small_test_config
+    from hrbffusion3d_tpu.core import lie
+    from hrbffusion3d_tpu.eval import synth
+    from hrbffusion3d_tpu.ops import pyramid as pyr
+
+    intr = CameraIntrinsics(fx=103.0, fy=103.0, cx=64.0, cy=48.0,
+                            width=128, height=96)
+    cfg = small_test_config()
+    import jax.numpy as jnp
+
+    def frame(pose):
+        scene = synth.default_room()
+        d, rgb = synth.render_frame(scene, jnp.asarray(pose), intr)
+        return d, pyr.rgb_to_intensity(rgb)
+
+    poses = synth.orbit_trajectory(40)
+    drift = np.asarray(lie.se3_exp(jnp.array([0.06, -0.05, 0.04, 0.01, -0.015, 0.012])))
+
+    results = {}
+    for name, mesh in [("single", None), ("dist", sharding.make_mesh(8))]:
+        be = SparseBackend(intr, cfg, fast_threshold=8.0, local_window=4,
+                           mesh=mesh)
+        for k, t in enumerate([1, 11, 21, 31]):
+            g = poses[t - 1].astype(np.float32)
+            est = g if k < 3 else (drift @ g).astype(np.float32)
+            d, i = frame(g)
+            be.insert_keyframe(i, d, est, time=t)
+        be.local_ba()
+        results[name] = np.stack([kf.pose for kf in be.keyframes])
+
+    np.testing.assert_allclose(results["single"], results["dist"], atol=2e-2)
