@@ -52,3 +52,31 @@ def test_static_camera_sequence():
     assert err < 1e-3, err
     conf_mean = float(jnp.sum(state.map.conf * state.map.valid) / state.map.count)
     assert conf_mean > 0.5
+
+
+def test_step_many_matches_sequential():
+    """The scan-batched stepping path (used by bench.py) must match
+    sequential slam.step frame for frame."""
+    n = 4
+    gt = synth.orbit_trajectory(n)
+    scene = synth.default_room()
+    frames = []
+    for i in range(n):
+        d, c = synth.render_frame_jit(scene, jnp.asarray(gt[i]), INTR)
+        frames.append(slam.FrameInput(depth=d, rgb=c))
+    state0 = slam.bootstrap(frames[0], INTR, CFG, init_pose=gt[0])
+
+    seq = state0
+    for f in frames[1:]:
+        seq = slam.step(seq, f, INTR, CFG)
+
+    batch = slam.FrameInput(
+        depth=jnp.stack([f.depth for f in frames[1:]]),
+        rgb=jnp.stack([f.rgb for f in frames[1:]]),
+    )
+    scanned, ts = slam.step_many(state0, batch, INTR, CFG)
+
+    np.testing.assert_allclose(np.asarray(scanned.t), np.asarray(seq.t), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scanned.R), np.asarray(seq.R), atol=1e-5)
+    assert int(scanned.map.count) == int(seq.map.count)
+    assert ts.shape == (n - 1, 3)
