@@ -126,7 +126,6 @@ class SLAMConfig:
 
     # -- TPU-specific --
     compute_dtype: str = "float32"
-    predict_gather_k: int = 16              # neighbors kept per ray after top-k
     # pixel-chunk sizes for the two heaviest per-pixel kernels: on TPU the
     # full image in one shot lets XLA fuse the neighbor reductions (the
     # sequential lax.map chunks serialize); small chunks bound CPU memory
@@ -135,6 +134,9 @@ class SLAMConfig:
     # use the Pallas VMEM-stencil kernels (ops/pallas_kernels.py) for the
     # bilateral / PCA-normal / curvature passes (TPU only)
     use_pallas: bool = False
+    # fused Pallas HRBF raycast (ladder+bisection+gradient in VMEM) — the
+    # XLA path re-reads the neighbor patches ~61x from HBM per frame
+    use_pallas_raycast: bool = False
 
 
 DEFAULT_CONFIG = SLAMConfig()

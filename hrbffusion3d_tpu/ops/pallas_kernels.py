@@ -181,6 +181,215 @@ def normal_pca(vertex_f: jnp.ndarray, cfg: SLAMConfig,
 
 
 # ---------------------------------------------------------------------- #
+# HRBF raycast (predict_hrbf.frag) — fused ladder + bisection + gradient
+# ---------------------------------------------------------------------- #
+
+def _ring_taps(radius: int):
+    """Window offsets in ring (Chebyshev) order — must match
+    raycast._ring_offsets exactly (frag's ring-by-ring collection)."""
+    offs = [(dy, dx) for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)]
+    offs.sort(key=lambda o: (max(abs(o[0]), abs(o[1])), o[0], o[1]))
+    return offs
+
+
+def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
+                    STEPS, STEP, BIS, FX, FY, CX, CY):
+    """Per-block HRBF raycast with the neighbor window in VMEM.
+
+    attr channels (channels-first): 0:3 pos | 3:6 nrm | 6 conf | 7 radius
+    | 8 valid.  Outputs (channels-first): 0:3 p_surf | 3:6 grad-normal
+    (unnormalised) | 6 nearest ring-tap index | 7 found.
+
+    The XLA path (ops/raycast.predict_hrbf) re-reads the (P, 49, 12)
+    neighbor patches from HBM for every ladder level and bisection
+    iteration (~61x, ~44 GB of traffic per frame); here each grid block
+    reads its (BH+2R, W+2R, 9) halo once and every evaluation hits VMEM.
+    """
+    taps = _ring_taps(R)
+    pid = pl.program_id(0)
+
+    def ch(c, dy, dx):
+        return attr_ref[0, c, R + dy:R + dy + BH, R + dx:R + dx + W]
+
+    # ---- viewing rays (frag: unproject pixel, normalise) ----
+    xg = jax.lax.broadcasted_iota(jnp.float32, (BH, W), 1)
+    yg = jax.lax.broadcasted_iota(jnp.float32, (BH, W), 0) + \
+        (pid * BH).astype(jnp.float32)
+    rx = (xg - CX) / FX
+    ry = (yg - CY) / FY
+    rn = jax.lax.rsqrt(rx * rx + ry * ry + 1.0)
+    rx, ry, rz = rx * rn, ry * rn, rn
+
+    # ---- pass 1: stability filter + ring-order K cap + t0 ----
+    sel = []                                  # (BH, W) f32 masks per tap
+    cnt = jnp.zeros((BH, W), jnp.float32)
+    t0 = jnp.full((BH, W), 1e6, jnp.float32)
+    for dy, dx in taps:
+        px, py, pz = ch(0, dy, dx), ch(1, dy, dx), ch(2, dy, dx)
+        nx, ny, nz = ch(3, dy, dx), ch(4, dy, dx), ch(5, dy, dx)
+        ok = (
+            (attr_ref[0, 8, R + dy:R + dy + BH, R + dx:R + dx + W] > 0.5)
+            & (pz > 0.1)
+            & (nx * nx + ny * ny + nz * nz > 0.01)
+            & (ch(6, dy, dx) >= CONF_T)
+            & (nz > 0.0)
+        )
+        s = ok & (cnt < K)
+        cnt += ok.astype(jnp.float32)
+        sel.append(s.astype(jnp.float32))
+        proj = jnp.abs(px * rx + py * ry + pz * rz)
+        t0 = jnp.where(s > 0, jnp.minimum(t0, proj), t0)
+    n_nb = sum(sel)                           # number selected (<= K)
+
+    def f_at(ts):
+        """HRBF value f(ts * ray) — ts any (..., BH, W); returns same shape."""
+        qx, qy, qz = ts * rx, ts * ry, ts * rz
+        f = jnp.zeros(ts.shape, jnp.float32)
+        for j, (dy, dx) in enumerate(taps):
+            vx = qx - ch(0, dy, dx)
+            vy = qy - ch(1, dy, dx)
+            vz = qz - ch(2, dy, dx)
+            d2 = vx * vx + vy * vy + vz * vz
+            T = ch(7, dy, dx)
+            T2 = jnp.maximum(T * T, 1e-12)
+            r = jnp.sqrt(d2 / T2)
+            s = jnp.maximum(1.0 - r, 0.0)
+            vc = (vx * ch(3, dy, dx) + vy * ch(4, dy, dx)
+                  + vz * ch(5, dy, dx)) * hrbf.HERMITE_SCALE
+            m = (sel[j] > 0) & (d2 < T * T)
+            f += jnp.where(m, 20.0 * (s ** 3) / T2 * vc, 0.0)
+        return f
+
+    # ---- centre support count (frag: enough neighbors in support) ----
+    ncnt = jnp.zeros((BH, W), jnp.float32)
+    cxp, cyp, czp = t0 * rx, t0 * ry, t0 * rz
+    for j, (dy, dx) in enumerate(taps):
+        vx = cxp - ch(0, dy, dx)
+        vy = cyp - ch(1, dy, dx)
+        vz = czp - ch(2, dy, dx)
+        d2 = vx * vx + vy * vy + vz * vz
+        T = ch(7, dy, dx)
+        ncnt += ((sel[j] > 0) & (d2 < T * T)).astype(jnp.float32)
+
+    # ---- ladder: f at t0 + k*STEP for k in [-STEPS, STEPS] (frag:153-231)
+    lad = (jnp.arange(2 * STEPS + 1, dtype=jnp.float32) - STEPS) * STEP
+    ts = t0[None] + lad[:, None, None]        # (L, BH, W)
+    f = f_at(ts)
+    f0 = f[STEPS]
+    enough = (n_nb > KMIN) & (ncnt > KMIN)
+
+    # first sign change walking away from the centre (branchless select)
+    big = jnp.full((BH, W), 1e6, jnp.float32)
+    bfound = jnp.zeros((BH, W), jnp.bool_)
+    t_lo_b = big
+    for i in range(1, STEPS + 1):             # backward: f0 > 0, find f < 0
+        hit = (f[STEPS - i] < 0) & ~bfound
+        t_lo_b = jnp.where(hit, t0 - i * STEP, t_lo_b)
+        bfound = bfound | hit
+    ffound = jnp.zeros((BH, W), jnp.bool_)
+    t_hi_f = big
+    for i in range(1, STEPS + 1):             # forward: f0 < 0, find f > 0
+        hit = (f[STEPS + i] > 0) & ~ffound
+        t_hi_f = jnp.where(hit, t0 + i * STEP, t_hi_f)
+        ffound = ffound | hit
+
+    go_back = f0 > 0
+    found = enough & jnp.where(go_back, bfound, ffound)
+    t_lo = jnp.where(go_back, t_lo_b, t_hi_f - STEP)
+    t_hi = jnp.where(go_back, t_lo_b + STEP, t_hi_f)
+
+    # ---- bisection (frag:236-270) ----
+    def bis(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        fm = f_at(mid)
+        return jnp.where(fm < 0, mid, lo), jnp.where(fm < 0, hi, mid)
+
+    t_lo, t_hi = jax.lax.fori_loop(0, BIS, bis, (t_lo, t_hi))
+    t_surf = 0.5 * (t_lo + t_hi)
+    sx, sy, sz = t_surf * rx, t_surf * ry, t_surf * rz
+
+    # ---- HRBF gradient at the surface point (normal; frag:276-280) ----
+    g0 = jnp.zeros((BH, W), jnp.float32)
+    g1 = jnp.zeros((BH, W), jnp.float32)
+    g2 = jnp.zeros((BH, W), jnp.float32)
+    # nearest selected neighbor (ring-tap index) for attribute lookup
+    best_d2 = jnp.full((BH, W), 1e12, jnp.float32)
+    best_j = jnp.zeros((BH, W), jnp.float32)
+    for j, (dy, dx) in enumerate(taps):
+        vx = sx - ch(0, dy, dx)
+        vy = sy - ch(1, dy, dx)
+        vz = sz - ch(2, dy, dx)
+        d2 = vx * vx + vy * vy + vz * vz
+        T = ch(7, dy, dx)
+        T2 = jnp.maximum(T * T, 1e-12)
+        r = jnp.sqrt(d2 / T2)
+        safe_r = jnp.maximum(r, 1e-20)
+        s = jnp.maximum(1.0 - r, 0.0)
+        cxn = hrbf.HERMITE_SCALE * ch(3, dy, dx)
+        cyn = hrbf.HERMITE_SCALE * ch(4, dy, dx)
+        czn = hrbf.HERMITE_SCALE * ch(5, dy, dx)
+        vc = vx * cxn + vy * cyn + vz * czn
+        a = -20.0 * (s ** 3) / T2
+        b = 60.0 * (s * s / safe_r) / (T2 * T2)
+        m = ((sel[j] > 0) & (d2 <= T * T) & (d2 > 0.0)).astype(jnp.float32)
+        a0 = -20.0 / T2 * ((sel[j] > 0) & (d2 == 0.0)).astype(jnp.float32)
+        g0 -= m * (a * cxn + b * vc * vx) + a0 * cxn
+        g1 -= m * (a * cyn + b * vc * vy) + a0 * cyn
+        g2 -= m * (a * czn + b * vc * vz) + a0 * czn
+
+        d2n = jnp.where(sel[j] > 0, d2, 1e12)
+        better = d2n < best_d2
+        best_d2 = jnp.where(better, d2n, best_d2)
+        best_j = jnp.where(better, jnp.float32(j), best_j)
+
+    out_ref[0, 0] = sx
+    out_ref[0, 1] = sy
+    out_ref[0, 2] = sz
+    out_ref[0, 3] = g0
+    out_ref[0, 4] = g1
+    out_ref[0, 5] = g2
+    out_ref[0, 6] = best_j
+    out_ref[0, 7] = found.astype(jnp.float32)
+
+
+def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
+                 interpret: bool = False):
+    """Run the fused raycast kernel over a (H, W, 9) stability-attr image
+    [pos(3) | nrm(3) | conf | radius | valid].  Returns (p_surf (H,W,3),
+    grad (H,W,3) unnormalised, nearest ring-tap idx (H,W) int32,
+    found (H,W) bool)."""
+    R = cfg.predict_window_multiplier
+    h, w = attr9.shape[:2]
+    acf = jnp.moveaxis(jnp.pad(attr9, [(R, R), (R, R), (0, 0)]), -1, 0)
+    blocks = jnp.stack([_expand_rows(acf[c], _BH, R) for c in range(9)], axis=1)
+    nb = blocks.shape[0]
+    kern = functools.partial(
+        _raycast_kernel, R=R, W=w, BH=_BH,
+        K=cfg.predict_max_neighbors, KMIN=cfg.predict_min_neighbors,
+        CONF_T=cfg.predict_conf_threshold,
+        STEPS=cfg.raycast_coarse_steps, STEP=cfg.raycast_coarse_step,
+        BIS=cfg.raycast_bisection_iters,
+        FX=intr.fx, FY=intr.fy, CX=intr.cx, CY=intr.cy)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, 9, _BH + 2 * R, w + 2 * R),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, _BH, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, _BH, w), jnp.float32),
+        interpret=interpret,
+    )(blocks)
+    out = jnp.moveaxis(out, 1, -1)            # (NB, BH, w, 8)
+    acc = _unexpand(out, h)
+    return (acc[..., 0:3], acc[..., 3:6],
+            acc[..., 6].astype(jnp.int32), acc[..., 7] > 0.5)
+
+
+# ---------------------------------------------------------------------- #
 # curvature / HRBF gradient pass
 # ---------------------------------------------------------------------- #
 

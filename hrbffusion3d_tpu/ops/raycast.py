@@ -57,8 +57,13 @@ class Prediction(NamedTuple):
 
 def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
                  intr: CameraIntrinsics, cfg: SLAMConfig,
-                 chunk: int = 8192) -> Prediction:
-    """Ray-cast the HRBF implicit through the rendered index map."""
+                 chunk: int = 8192, pallas_interpret: bool = False) -> Prediction:
+    """Ray-cast the HRBF implicit through the rendered index map.
+
+    With ``cfg.use_pallas_raycast`` the ladder/bisection/gradient core runs
+    as one fused Pallas kernel with the neighbor window resident in VMEM
+    (ops/pallas_kernels.raycast_core); otherwise the XLA formulation below.
+    """
     h, w = intr.height, intr.width
     P = h * w
     K = cfg.predict_max_neighbors  # frag:108 neighbor cap, ring-ordered
@@ -78,6 +83,22 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
 
     attr = smod.render_attr_image(m, index_map, pose_inv)
     cand = extract_patches(index_map, R, fill=-1).reshape(P, D * D)[:, perm]
+
+    if cfg.use_pallas_raycast or pallas_interpret:
+        from . import pallas_kernels
+
+        attr9 = attr[..., [0, 1, 2, 3, 4, 5, smod.A_CONF, smod.A_RADIUS,
+                           smod.A_VALID]]
+        p_surf, grad, nearest, found = pallas_kernels.raycast_core(
+            attr9, intr, cfg, interpret=pallas_interpret)
+        p_surf = p_surf.reshape(P, 3)
+        grad = grad.reshape(P, 3)
+        nrm = grad / jnp.maximum(
+            jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-12)
+        nearest = nearest.reshape(P)
+        found = found.reshape(P)
+        return _assemble_prediction(
+            m, pose_inv, cand, p_surf, nrm, nearest, found, intr, cfg)
     ap = extract_patches(attr, R).reshape(P, D * D, smod.ATTR_CHANNELS)[:, perm]
     nb_pos = ap[..., smod.A_POS]                   # camera frame (P, n_off, 3)
     nb_nrm = ap[..., smod.A_NRM]
@@ -188,11 +209,27 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
     )
     p_surf, nrm, nearest, found = [o.reshape(-1, *o.shape[2:])[:P] for o in outs]
 
+    near_ok = jnp.take_along_axis(sel_ok, nearest[:, None], axis=1)[:, 0]
+    found = found & near_ok
+    return _assemble_prediction(
+        m, pose_inv, cand, p_surf, nrm, nearest, found, intr, cfg)
+
+
+def _assemble_prediction(m: SurfelMap, pose_inv: jnp.ndarray,
+                         cand: jnp.ndarray, p_surf: jnp.ndarray,
+                         nrm: jnp.ndarray, nearest: jnp.ndarray,
+                         found: jnp.ndarray, intr: CameraIntrinsics,
+                         cfg: SLAMConfig) -> Prediction:
+    """Shared raycast epilogue: nearest-surfel attribute fetch + per-pixel
+    ICP weight (frag:282-302).  cand: (P, n_taps) ring-ordered candidate
+    surfel ids; nearest: (P,) ring-tap index of the closest neighbor."""
+    from ..map import surfel_map as smod
+
+    h, w = intr.height, intr.width
+
     # nearest-surfel attributes: one (P, 24) row gather for the whole image
     take = jnp.take_along_axis
     near_id = take(cand, nearest[:, None], axis=1)[:, 0]
-    near_ok = take(sel_ok, nearest[:, None], axis=1)[:, 0]
-    found = found & near_ok
     near_rows = m.data[jnp.clip(near_id, 0, m.data.shape[0] - 1)]
     Rr = pose_inv[:3, :3]
 

@@ -61,3 +61,40 @@ def test_curvature_matches_xla():
     assert (dots > 0.9999).mean() > 0.99
     np.testing.assert_allclose(np.asarray(out.gradient_mag)[both],
                                np.asarray(ref.gradient_mag)[both], rtol=1e-3, atol=1e-3)
+
+
+def test_raycast_matches_xla():
+    from hrbffusion3d_tpu.map import surfel_map as sm
+    from hrbffusion3d_tpu.ops import raycast
+
+    cfg = small_test_config(map_capacity=1 << 15, predict_conf_threshold=0.2)
+    depth = _depth()
+    pre = preprocess.vertex_normal_radius(depth, depth, INTR, cfg)
+    curv = preprocess.curvature_gradient(pre, INTR, cfg, chunk=4096)
+    pre = preprocess.update_normal_rad(pre, curv, cfg)
+    conf = preprocess.confidence_map(pre, curv, INTR, cfg)
+    meas = sm.measurement_from_preprocess(pre, curv, jnp.zeros(depth.shape + (3,)), conf)
+    m = sm.initialise(cfg.map_capacity, meas, jnp.eye(4), cfg)
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+
+    ref = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, cfg, chunk=4096)
+    out = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, cfg,
+                               pallas_interpret=True)
+
+    rf = np.asarray(ref.found)
+    of = np.asarray(out.found)
+    assert (rf == of).mean() > 0.995, (rf != of).mean()
+    both = rf & of
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(np.asarray(out.vertex)[both],
+                               np.asarray(ref.vertex)[both], atol=1e-4)
+    dots = np.sum(np.asarray(out.normal)[both] * np.asarray(ref.normal)[both],
+                  axis=-1)
+    assert (dots > 0.9999).mean() > 0.99
+    # nearest-surfel attributes: fp ties in the distance argmin may pick a
+    # different (equidistant) tap on a handful of pixels
+    conf_same = np.abs(np.asarray(out.conf) - np.asarray(ref.conf))[both] < 1e-5
+    assert conf_same.mean() > 0.99, conf_same.mean()
+    np.testing.assert_allclose(np.asarray(out.icp_weight)[both],
+                               np.asarray(ref.icp_weight)[both],
+                               rtol=1e-3, atol=1e-3)
