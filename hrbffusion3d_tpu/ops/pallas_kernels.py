@@ -213,9 +213,10 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
         return attr_ref[0, c, R + dy:R + dy + BH, R + dx:R + dx + W]
 
     # ---- viewing rays (frag: unproject pixel, normalise) ----
-    xg = jax.lax.broadcasted_iota(jnp.float32, (BH, W), 1)
-    yg = jax.lax.broadcasted_iota(jnp.float32, (BH, W), 0) + \
-        (pid * BH).astype(jnp.float32)
+    # (Mosaic iota must be integer-typed)
+    xg = jax.lax.broadcasted_iota(jnp.int32, (BH, W), 1).astype(jnp.float32)
+    yg = jax.lax.broadcasted_iota(jnp.int32, (BH, W), 0).astype(jnp.float32) \
+        + (pid * BH).astype(jnp.float32)
     rx = (xg - CX) / FX
     ry = (yg - CY) / FY
     rn = jax.lax.rsqrt(rx * rx + ry * ry + 1.0)
@@ -272,30 +273,34 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
         T = ch(7, dy, dx)
         ncnt += ((sel[j] > 0) & (d2 < T * T)).astype(jnp.float32)
 
-    # ---- ladder: f at t0 + k*STEP for k in [-STEPS, STEPS] (frag:153-231)
-    lad = (jnp.arange(2 * STEPS + 1, dtype=jnp.float32) - STEPS) * STEP
-    ts = t0[None] + lad[:, None, None]        # (L, BH, W)
-    f = f_at(ts)
-    f0 = f[STEPS]
+    # ---- ladder: f at t0 +- i*STEP walking outward from the centre
+    # (frag:153-231).  Rolled lax.fori_loop — a fully unrolled (L, BH, W)
+    # ladder emits ~200k vector instructions and stalls the Mosaic
+    # scheduler; the loop body is 2 f-evaluations on (BH, W).
+    # Found flags as f32 — Mosaic cannot lower boolean select_n (i8->i1).
+    f0 = f_at(t0)
     enough = (n_nb > KMIN) & (ncnt > KMIN)
-
-    # first sign change walking away from the centre (branchless select)
     big = jnp.full((BH, W), 1e6, jnp.float32)
-    bfound = jnp.zeros((BH, W), jnp.bool_)
-    t_lo_b = big
-    for i in range(1, STEPS + 1):             # backward: f0 > 0, find f < 0
-        hit = (f[STEPS - i] < 0) & ~bfound
-        t_lo_b = jnp.where(hit, t0 - i * STEP, t_lo_b)
-        bfound = bfound | hit
-    ffound = jnp.zeros((BH, W), jnp.bool_)
-    t_hi_f = big
-    for i in range(1, STEPS + 1):             # forward: f0 < 0, find f > 0
-        hit = (f[STEPS + i] > 0) & ~ffound
-        t_hi_f = jnp.where(hit, t0 + i * STEP, t_hi_f)
-        ffound = ffound | hit
+    zero = jnp.zeros((BH, W), jnp.float32)
+
+    def ladder(i, carry):
+        bfound, t_lo_b, ffound, t_hi_f = carry
+        fi = i.astype(jnp.float32)
+        fb = f_at(t0 - fi * STEP)             # backward: f0 > 0, find f < 0
+        hit_b = (fb < 0) & (bfound < 0.5)
+        t_lo_b = jnp.where(hit_b, t0 - fi * STEP, t_lo_b)
+        bfound = jnp.where(hit_b, 1.0, bfound)
+        ff = f_at(t0 + fi * STEP)             # forward: f0 < 0, find f > 0
+        hit_f = (ff > 0) & (ffound < 0.5)
+        t_hi_f = jnp.where(hit_f, t0 + fi * STEP, t_hi_f)
+        ffound = jnp.where(hit_f, 1.0, ffound)
+        return bfound, t_lo_b, ffound, t_hi_f
+
+    bfound, t_lo_b, ffound, t_hi_f = jax.lax.fori_loop(
+        1, STEPS + 1, ladder, (zero, big, zero, big))
 
     go_back = f0 > 0
-    found = enough & jnp.where(go_back, bfound, ffound)
+    found = enough & (jnp.where(go_back, bfound, ffound) > 0.5)
     t_lo = jnp.where(go_back, t_lo_b, t_hi_f - STEP)
     t_hi = jnp.where(go_back, t_lo_b + STEP, t_hi_f)
 
@@ -362,11 +367,12 @@ def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
     found (H,W) bool)."""
     R = cfg.predict_window_multiplier
     h, w = attr9.shape[:2]
+    BH = 8
     acf = jnp.moveaxis(jnp.pad(attr9, [(R, R), (R, R), (0, 0)]), -1, 0)
-    blocks = jnp.stack([_expand_rows(acf[c], _BH, R) for c in range(9)], axis=1)
+    blocks = jnp.stack([_expand_rows(acf[c], BH, R) for c in range(9)], axis=1)
     nb = blocks.shape[0]
     kern = functools.partial(
-        _raycast_kernel, R=R, W=w, BH=_BH,
+        _raycast_kernel, R=R, W=w, BH=BH,
         K=cfg.predict_max_neighbors, KMIN=cfg.predict_min_neighbors,
         CONF_T=cfg.predict_conf_threshold,
         STEPS=cfg.raycast_coarse_steps, STEP=cfg.raycast_coarse_step,
@@ -375,12 +381,15 @@ def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
     out = pl.pallas_call(
         kern,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((1, 9, _BH + 2 * R, w + 2 * R),
+        in_specs=[pl.BlockSpec((1, 9, BH + 2 * R, w + 2 * R),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 8, _BH, w), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, BH, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, _BH, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, BH, w), jnp.float32),
+        # the unrolled-tap live ranges stack-allocate ~18 MB — above the
+        # default 16 MB scoped-vmem limit but well under the 128 MB chip VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(blocks)
     out = jnp.moveaxis(out, 1, -1)            # (NB, BH, w, 8)
