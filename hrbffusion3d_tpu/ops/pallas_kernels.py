@@ -273,36 +273,40 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
         T = ch(7, dy, dx)
         ncnt += ((sel[j] > 0) & (d2 < T * T)).astype(jnp.float32)
 
-    # ---- ladder: f at t0 +- i*STEP walking outward from the centre
-    # (frag:153-231).  Rolled lax.fori_loop — a fully unrolled (L, BH, W)
-    # ladder emits ~200k vector instructions and stalls the Mosaic
-    # scheduler; the loop body is 2 f-evaluations on (BH, W).
+    # ---- ladder: march from t0 in sign(f0) direction until the sign flips
+    # (frag:153-231).  Each pixel marches only its OWN direction (the XLA
+    # path evaluates all 2*STEPS+1 points), and the loop exits as soon as
+    # every supported pixel in the block has bracketed — typically 2-4
+    # iterations instead of 25 (the surface is near t0 = the nearest
+    # neighbor's ray projection).  Exact same results as the full ladder.
     # Found flags as f32 — Mosaic cannot lower boolean select_n (i8->i1).
     f0 = f_at(t0)
     enough = (n_nb > KMIN) & (ncnt > KMIN)
+    go_back = f0 > 0
+    sgn = jnp.where(go_back, -1.0, 1.0)       # march toward the camera if f0>0
     big = jnp.full((BH, W), 1e6, jnp.float32)
     zero = jnp.zeros((BH, W), jnp.float32)
+    enough_f = enough.astype(jnp.float32)
 
-    def ladder(i, carry):
-        bfound, t_lo_b, ffound, t_hi_f = carry
-        fi = i.astype(jnp.float32)
-        fb = f_at(t0 - fi * STEP)             # backward: f0 > 0, find f < 0
-        hit_b = (fb < 0) & (bfound < 0.5)
-        t_lo_b = jnp.where(hit_b, t0 - fi * STEP, t_lo_b)
-        bfound = jnp.where(hit_b, 1.0, bfound)
-        ff = f_at(t0 + fi * STEP)             # forward: f0 < 0, find f > 0
-        hit_f = (ff > 0) & (ffound < 0.5)
-        t_hi_f = jnp.where(hit_f, t0 + fi * STEP, t_hi_f)
-        ffound = jnp.where(hit_f, 1.0, ffound)
-        return bfound, t_lo_b, ffound, t_hi_f
+    def l_cond(carry):
+        i, fnd, _ = carry
+        still = jnp.max(enough_f * (1.0 - fnd))
+        return (i <= STEPS) & (still > 0)
 
-    bfound, t_lo_b, ffound, t_hi_f = jax.lax.fori_loop(
-        1, STEPS + 1, ladder, (zero, big, zero, big))
+    def l_body(carry):
+        i, fnd, t_hit = carry
+        t_i = t0 + sgn * (i.astype(jnp.float32) * STEP)
+        fv = f_at(t_i)
+        hit = (fv * sgn > 0) & (fnd < 0.5)    # sign flipped vs f0
+        t_hit = jnp.where(hit, t_i, t_hit)
+        fnd = jnp.where(hit, 1.0, fnd)
+        return i + 1, fnd, t_hit
 
-    go_back = f0 > 0
-    found = enough & (jnp.where(go_back, bfound, ffound) > 0.5)
-    t_lo = jnp.where(go_back, t_lo_b, t_hi_f - STEP)
-    t_hi = jnp.where(go_back, t_lo_b + STEP, t_hi_f)
+    _, fnd, t_hit = jax.lax.while_loop(
+        l_cond, l_body, (jnp.int32(1), zero, big))
+    found = enough & (fnd > 0.5)
+    t_lo = jnp.where(go_back, t_hit, t_hit - STEP)
+    t_hi = jnp.where(go_back, t_hit + STEP, t_hit)
 
     # ---- bisection (frag:236-270) ----
     def bis(_, carry):
