@@ -209,6 +209,23 @@ def _append(m: SurfelMap, rows: jnp.ndarray, new_mask: jnp.ndarray,
     return SurfelMap(data=data, count=count)
 
 
+def grow(m: SurfelMap, new_capacity: int) -> SurfelMap:
+    """Return the same map backed by a larger array (pristine empty rows
+    appended).  Host-side capacity bucketing: the reference allocates its
+    full 21.1M-surfel VBO up front (GlobalModel.cpp:21-22); on TPU every
+    map op costs proportional to the static capacity, so the engine starts
+    small and doubles between jitted steps.  Dead-row *values* never
+    influence live outputs (all map ops mask on the valid prefix), so a
+    grown map is observably identical to one allocated large from the
+    start."""
+    n = m.data.shape[0]
+    if new_capacity <= n:
+        return m
+    pad = jnp.zeros((new_capacity - n, N_CHANNELS), m.data.dtype)
+    pad = pad.at[:, K1].set(CURV_SENTINEL).at[:, K2].set(CURV_SENTINEL)
+    return SurfelMap(data=jnp.concatenate([m.data, pad], axis=0), count=m.count)
+
+
 def initialise(capacity: int, m: FrameMeasurement, pose: jnp.ndarray,
                cfg: SLAMConfig, time: int = 1, submap_idx: int = 0) -> SurfelMap:
     """First-frame map init (GlobalModel::initialise + init_unstableTex.vert:

@@ -96,6 +96,9 @@ class FullSLAM:
                         pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
                         self.loop_closures.append((cand.match_kf, cand.query_kf))
 
+        # capacity bucketing: double the map between frames when nearly full
+        self.state, self.cfg = slam.ensure_capacity(self.state, self.cfg)
+
         self.trajectory.append(pose)
         self.timestamps.append(timestamp)
         self.kf_of_frame.append(len(self.backend.keyframes) - 1)

@@ -197,8 +197,32 @@ def step_many(state: SLAMState, frames: FrameInput, intr: CameraIntrinsics,
     return jax.lax.scan(body, state, frames)
 
 
+def ensure_capacity(state: SLAMState, cfg: SLAMConfig,
+                    threshold: float = 0.75,
+                    frames_ahead: int = 1):
+    """Host-side capacity bucketing (between jitted steps): when the live
+    surfel count crosses ``threshold`` of capacity, double the map's
+    backing array (power-of-2 buckets — each bucket gets its own cached
+    jit specialisation).  Returns (state, cfg) — cfg carries the new
+    ``map_capacity``.  The reference instead allocates 21.1M surfels up
+    front (GlobalModel.cpp:21-22) and drops data when full; here every map
+    op costs proportional to static capacity, so buckets keep per-frame
+    cost proportional to the live map."""
+    import dataclasses
+
+    count = int(state.map.count)
+    cap = cfg.map_capacity
+    if count <= threshold * cap:
+        return state, cfg
+    new_cap = cap
+    while count > threshold * new_cap:
+        new_cap *= 2
+    return (state._replace(map=sm.grow(state.map, new_cap)),
+            dataclasses.replace(cfg, map_capacity=new_cap))
+
+
 def run_sequence(frames, intr: CameraIntrinsics, cfg: SLAMConfig,
-                 init_pose=None):
+                 init_pose=None, grow: bool = True):
     """Host-side frame loop (MainController::run equivalent).  ``frames`` is
     an iterable of FrameInput; returns (final state, poses (N,4,4))."""
     import numpy as np
@@ -210,5 +234,7 @@ def run_sequence(frames, intr: CameraIntrinsics, cfg: SLAMConfig,
             state = bootstrap(f, intr, cfg, init_pose)
         else:
             state = step(state, f, intr, cfg)
+        if grow:
+            state, cfg = ensure_capacity(state, cfg)
         poses.append(np.asarray(lie.rt_to_mat(state.R, state.t)))
     return state, np.stack(poses)

@@ -139,3 +139,51 @@ def test_fuse_respects_capacity():
     m = sm.initialise(cfg.map_capacity, meas, jnp.eye(4), cfg)
     assert int(m.count) == 1000
     assert bool(jnp.all(m.valid))
+
+
+def test_grow_is_observably_identical():
+    """Capacity bucketing: a map grown mid-sequence must behave bit-exactly
+    like one allocated large from the start (dead-row values never leak)."""
+    import dataclasses
+
+    from hrbffusion3d_tpu.pipeline import slam
+
+    scene = synth.default_room()
+    poses = synth.orbit_trajectory(4, angle_per_frame=0.004)
+    frames = []
+    for i in range(4):
+        d, c = synth.render_frame(scene, jnp.asarray(poses[i]), INTR)
+        frames.append(slam.FrameInput(depth=d, rgb=c))
+
+    cfg_small = dataclasses.replace(CFG, map_capacity=1 << 14)
+    cfg_big = dataclasses.replace(CFG, map_capacity=1 << 16)
+
+    # small run with aggressive growth (threshold 0.3 -> grows to 1<<16
+    # right after bootstrap)
+    state = slam.bootstrap(frames[0], INTR, cfg_small, init_pose=poses[0])
+    cfg_cur = cfg_small
+    for f in frames[1:]:
+        state, cfg_cur = slam.ensure_capacity(state, cfg_cur, threshold=0.3)
+        state = slam.step(state, f, INTR, cfg_cur)
+    assert cfg_cur.map_capacity == 1 << 16
+
+    # big run, no growth
+    state_b = slam.bootstrap(frames[0], INTR, cfg_big, init_pose=poses[0])
+    for f in frames[1:]:
+        state_b = slam.step(state_b, f, INTR, cfg_big)
+
+    assert int(state.map.count) == int(state_b.map.count)
+    n = int(state.map.count)
+    np.testing.assert_array_equal(np.asarray(state.map.data[:n]),
+                                  np.asarray(state_b.map.data[:n]))
+    np.testing.assert_array_equal(np.asarray(state.t), np.asarray(state_b.t))
+
+
+def test_grow_unit():
+    m = sm.empty_map(64)
+    m2 = sm.grow(m, 256)
+    assert m2.data.shape == (256, 24)
+    assert int(m2.count) == 0
+    # pristine rows: curvature sentinel, invalid
+    assert np.all(np.asarray(m2.data[:, sm.K1]) == 1000.0)
+    assert sm.grow(m2, 128).data.shape[0] == 256  # never shrinks
