@@ -137,6 +137,10 @@ class SLAMConfig:
     # fused Pallas HRBF raycast (ladder+bisection+gradient in VMEM) — the
     # XLA path re-reads the neighbor patches ~61x from HBM per frame
     use_pallas_raycast: bool = False
+    # run the kill rules every frame (reference parity) but stream-compact
+    # the surfel array only every N-th frame (tombstones in between); the
+    # compaction is a full-capacity sort + row gather
+    clean_compact_period: int = 1
 
 
 DEFAULT_CONFIG = SLAMConfig()

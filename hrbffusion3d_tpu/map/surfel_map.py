@@ -203,9 +203,9 @@ def _append(m: SurfelMap, rows: jnp.ndarray, new_mask: jnp.ndarray,
     start = jnp.clip(m.count, 0, capacity - S)
     data = jax.lax.dynamic_update_slice(m.data, block, (start, 0))
     count = jnp.minimum(start + n_new, capacity)
-    # maintain the valid-prefix invariant
-    data = data.at[:, VALID].set(
-        (jnp.arange(capacity) < count).astype(jnp.float32))
+    # VALID is carried in the rows themselves (1 for appended surfels, 0 for
+    # the block's empty tail); rows outside the block keep their flags —
+    # tombstoned rows must stay dead (clean_compact_period > 1).
     return SurfelMap(data=data, count=count)
 
 
@@ -547,11 +547,38 @@ def clean_with_remap(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
     """clean() + (old index -> new index, -1 if killed) remap so the caller
     can translate an existing index map instead of re-rendering (prediction
     filters out fresh unstable surfels by confidence anyway, so a remapped
-    post-fuse render is prediction-equivalent to a fresh post-clean one)."""
+    post-fuse render is prediction-equivalent to a fresh post-clean one).
+
+    With ``cfg.clean_compact_period > 1`` the kill rules still run every
+    frame (reference parity) but killed surfels are tombstoned in place and
+    the stream compaction (a full-capacity sort + row gather) runs only
+    every N-th frame.  Observable behavior is equal up to z-buffer
+    tie-breaks (ties at the same pixel within one quantisation step break
+    by array index — the reference's GL equivalent is last-write
+    nondeterminism)."""
     keep = clean_mask(m, pose, index_map, intr, cfg, time, active)
-    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    remap = jnp.where(keep, rank, -1)
-    return compact(m, keep), remap
+    n = m.data.shape[0]
+    period = getattr(cfg, "clean_compact_period", 1)
+
+    def do_compact(_):
+        rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        remap = jnp.where(keep, rank, -1)
+        mc = compact(m, keep)
+        return mc.data, mc.count, remap
+
+    def do_tombstone(_):
+        data = m.data.at[:, VALID].set(
+            jnp.where(keep, m.data[:, VALID], 0.0))
+        remap = jnp.where(keep, jnp.arange(n, dtype=jnp.int32), -1)
+        return data, m.count, remap
+
+    if period <= 1:
+        data, count, remap = do_compact(None)
+    else:
+        data, count, remap = jax.lax.cond(
+            jnp.asarray(time, jnp.int32) % period == 0,
+            do_compact, do_tombstone, None)
+    return SurfelMap(data=data, count=count), remap
 
 
 def remap_index_map(index_map: jnp.ndarray, remap: jnp.ndarray) -> jnp.ndarray:

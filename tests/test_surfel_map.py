@@ -187,3 +187,34 @@ def test_grow_unit():
     # pristine rows: curvature sentinel, invalid
     assert np.all(np.asarray(m2.data[:, sm.K1]) == 1000.0)
     assert sm.grow(m2, 128).data.shape[0] == 256  # never shrinks
+
+
+def test_clean_compact_period():
+    """Tombstone + periodic compaction tracks the compact-every-frame run:
+    same kills, same live surfel count, near-identical trajectory."""
+    from hrbffusion3d_tpu.pipeline import slam
+
+    scene = synth.default_room()
+    poses = synth.orbit_trajectory(5, angle_per_frame=0.004)
+    frames = []
+    for i in range(5):
+        d, c = synth.render_frame(scene, jnp.asarray(poses[i]), INTR)
+        frames.append(slam.FrameInput(depth=d, rgb=c))
+
+    def run(cfg):
+        state = slam.bootstrap(frames[0], INTR, cfg, init_pose=poses[0])
+        for f in frames[1:]:
+            state = slam.step(state, f, INTR, cfg)
+        return state
+
+    s1 = run(CFG)
+    s2 = run(dataclasses.replace(CFG, clean_compact_period=3))
+
+    live1 = int(np.asarray(s1.map.valid).sum())
+    live2 = int(np.asarray(s2.map.valid).sum())
+    assert abs(live1 - live2) <= 0.01 * max(live1, 1), (live1, live2)
+    # tombstoned rows are truly dead
+    v2 = np.asarray(s2.map.valid)
+    assert int(s2.map.count) >= live2
+    assert not v2[int(s2.map.count):].any()
+    np.testing.assert_allclose(np.asarray(s2.t), np.asarray(s1.t), atol=2e-3)
