@@ -78,6 +78,13 @@ class SLAMConfig:
     icp_use_weighted: bool = True           # registrationICPUseWeightedICP
     icp_curv_weight_lambda: float = 10.0    # registrationICPCurvWeightImpactControl
     rgb_use_gradient_weight: bool = False
+    # sparse ICP: ADMM Lp-shrinkage on the point-to-plane target
+    # (reduce.cu:296-315, 479-492, cudafuncs.cu:1030-1075; default OFF in
+    # the reference — registrationICPUseSparseICP)
+    icp_use_sparse: bool = False
+    sparse_icp_mu: float = 10.0             # reduce.cu:653
+    sparse_icp_p: float = 0.5               # reduce.cu:652 (L_p norm)
+    sparse_icp_shrink_iters: int = 3        # reduce.cu:654
     dist_threshold: float = 0.10            # RGBDOdometry.h distThres_
     angle_threshold: float = 0.342          # sin(20deg), RGBDOdometry.h
     curvature_threshold: float = 100.0

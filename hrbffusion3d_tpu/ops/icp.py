@@ -60,6 +60,44 @@ class StepResult(NamedTuple):
     count: jnp.ndarray
 
 
+class SparseICPExtras(NamedTuple):
+    """Per-pixel data the sparse-ICP ADMM lambda update needs after the
+    pose solve (updateLambdaMapKernel, cudafuncs.cu:1030-1075)."""
+
+    found: jnp.ndarray   # (N,) bool correspondence mask
+    d_cp: jnp.ndarray    # (N,3) unmodified target point, previous camera frame
+    z: jnp.ndarray       # (N,3) shrinkage variable of this iteration
+
+
+def lp_shrink(h: jnp.ndarray, mu: float, p: float, iters: int) -> jnp.ndarray:
+    """The L_p proximal ("thrink") operator (reduce.cu:301-315): zero inside
+    the threshold, otherwise a fixed-point iteration on the shrink factor.
+    h: (..., 3)."""
+    alpha_a = ((2.0 / mu) * (1.0 - p)) ** (1.0 / (2.0 - p))
+    h_tilde = alpha_a + (p / mu) * alpha_a ** (p - 1.0)
+    h_norm = jnp.linalg.norm(h, axis=-1)
+    safe = jnp.maximum(h_norm, 1e-12)
+    beta = (alpha_a / safe + 1.0) / 2.0
+    for _ in range(iters):
+        beta = 1.0 - (p / mu) * safe ** (p - 2.0) * beta ** (p - 1.0)
+    return jnp.where((h_norm <= h_tilde)[..., None], 0.0, beta[..., None] * h)
+
+
+def sparse_icp_lambda_update(
+    lam: jnp.ndarray, extras: SparseICPExtras,
+    R_curr_new: jnp.ndarray, t_curr_new: jnp.ndarray,
+    R_prev_inv: jnp.ndarray, t_prev: jnp.ndarray,
+    vmap_curr: jnp.ndarray, mu: float,
+) -> jnp.ndarray:
+    """ADMM dual update after the pose solve (updateLambdaMapKernel):
+    lambda += mu * (s_cp(new pose) - d_cp - z) at found correspondences."""
+    n = lam.shape[0]
+    vcurr = vmap_curr.reshape(n, 3)
+    s_cp = ((vcurr @ R_curr_new.T + t_curr_new) - t_prev) @ R_prev_inv.T
+    delta = s_cp - extras.d_cp - extras.z
+    return jnp.where(extras.found[:, None], lam + mu * delta, lam)
+
+
 # ---------------------------------------------------------------------- #
 # packed per-level model data
 # ---------------------------------------------------------------------- #
@@ -134,7 +172,8 @@ def icp_step(
     intr: CameraIntrinsics, cfg: SLAMConfig,
     k1_curr: jnp.ndarray | None = None, k2_curr: jnp.ndarray | None = None,
     k1_prev: jnp.ndarray | None = None, k2_prev: jnp.ndarray | None = None,
-) -> StepResult:
+    sparse_lambda: jnp.ndarray | None = None,
+):
     """Projective-association point-to-plane ICP normal equations
     (reduce.cu:253-573).  *curr maps are the live frame in its camera frame;
     model_rows hold the prediction in WORLD frame (initICPModel semantics).
@@ -226,7 +265,18 @@ def icp_step(
     s_cp = (vcurr_g - t_prev) @ R_prev_inv.T
     d_cp = (best_v - t_prev) @ R_prev_inv.T
     n_cp = best_n @ R_prev_inv.T
-    r = jnp.sum(n_cp * (s_cp - d_cp), axis=-1)
+    d_used = d_cp
+    extras = None
+    if sparse_lambda is not None:
+        # sparse ICP (reduce.cu:479-492): shift the target by the shrinkage
+        # variable z and the scaled dual, d' = d + z - lambda/mu
+        mu = cfg.sparse_icp_mu
+        h = s_cp - d_cp + sparse_lambda / mu
+        z = lp_shrink(h, mu, cfg.sparse_icp_p, cfg.sparse_icp_shrink_iters)
+        z = jnp.where(found[:, None], z, 0.0)
+        d_used = d_cp + z - sparse_lambda / mu
+        extras = SparseICPExtras(found=found, d_cp=d_cp, z=z)
+    r = jnp.sum(n_cp * (s_cp - d_used), axis=-1)
     rows = jnp.concatenate([n_cp, jnp.cross(s_cp, n_cp), r[:, None]], axis=-1)
     rows = jnp.where(found[:, None], rows, 0.0)
 
@@ -237,7 +287,8 @@ def icp_step(
 
     A, b, r2 = _gram(rows, weight)
     count = jnp.sum(found.astype(jnp.float32))
-    return StepResult(A=A, b=b, residual2=r2, count=count)
+    res = StepResult(A=A, b=b, residual2=r2, count=count)
+    return (res, extras) if sparse_lambda is not None else res
 
 
 # ---------------------------------------------------------------------- #

@@ -198,10 +198,16 @@ def track(
         static_valid = icp_ops.rgb_static_valid(
             inp.next_intensity[lvl], d_idx, d_idy, inp.next_depth[lvl], min_scale)
 
+        use_sparse = cfg.icp_use_sparse and use_icp
+
         def body(_, carry, lvl=lvl, li=li, K=K, Kinv=Kinv, d_idx=d_idx,
                  d_idy=d_idy, model_rows=model_rows, last_rows=last_rows,
                  static_valid=static_valid):
-            result_rt, lastA, lastb, st = carry
+            if use_sparse:
+                result_rt, lastA, lastb, st, lam = carry
+            else:
+                result_rt, lastA, lastb, st = carry
+                lam = None
             rt_inv = lie.se3_inverse(result_rt)
             krkinv = K @ rt_inv[:3, :3] @ Kinv
             kt = K @ rt_inv[:3, 3]
@@ -234,9 +240,10 @@ def track(
                 st = {**st, "rgb_e": jnp.sqrt(corres.sigma_sum) / jnp.maximum(corres.count, 1.0),
                       "rgb_c": corres.count}
 
+            extras = None
             if use_icp:
                 has_curv = len(inp.next_k1) > 0
-                icp_res = icp_ops.icp_step(
+                icp_out = icp_ops.icp_step(
                     R_curr, t_curr, prev_R_inv, prev_t,
                     inp.next_vmap[lvl], inp.next_nmap[lvl],
                     model_rows, li, cfg,
@@ -244,7 +251,9 @@ def track(
                     k2_curr=inp.next_k2[lvl] if has_curv else None,
                     k1_prev=inp.last_k1[lvl] if has_curv else None,
                     k2_prev=inp.last_k2[lvl] if has_curv else None,
+                    sparse_lambda=lam if use_sparse else None,
                 )
+                icp_res, extras = icp_out if use_sparse else (icp_out, None)
                 w = cfg.icp_weight if use_rgb else 1.0
                 A = A + (w * w) * icp_res.A
                 b = b + w * icp_res.b
@@ -258,11 +267,28 @@ def track(
             inc = inc.at[:3, :3].set(lie.so3_exp(x[3:]))
             inc = inc.at[:3, 3].set(x[:3])
             result_rt = inc @ result_rt
+
+            if use_sparse:
+                # ADMM dual update with the post-solve pose
+                # (RGBDOdometry.cpp:1209-1224 -> updateLambdaMapKernel)
+                cur2 = lie.rt_to_mat(prev_R, prev_t) @ lie.se3_inverse(result_rt)
+                lam = icp_ops.sparse_icp_lambda_update(
+                    lam, extras, cur2[:3, :3], cur2[:3, 3],
+                    prev_R_inv, prev_t, inp.next_vmap[lvl],
+                    cfg.sparse_icp_mu)
+                return (result_rt, A, b, st, lam)
             return (result_rt, A, b, st)
 
-        carry = (result_rt, lastA, lastb, stats)
-        carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
-        result_rt, lastA, lastb, stats = carry
+        if use_sparse:
+            # lambdaMap zeroed per level (RGBDOdometry.cpp:965-978)
+            lam0 = jnp.zeros((li.height * li.width, 3), jnp.float32)
+            carry = (result_rt, lastA, lastb, stats, lam0)
+            carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
+            result_rt, lastA, lastb, stats, _ = carry
+        else:
+            carry = (result_rt, lastA, lastb, stats)
+            carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
+            result_rt, lastA, lastb, stats = carry
 
     cur = lie.rt_to_mat(prev_R, prev_t) @ lie.se3_inverse(result_rt)
     R_new = lie.orthonormalise(cur[:3, :3])

@@ -148,3 +148,44 @@ def test_resize_map_normalize():
     down = pyramid.resize_map(n, normalize=True)
     norms = np.linalg.norm(np.asarray(down), axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_lp_shrink_reference_formula():
+    """lp_shrink matches the reference 'thrink' operator (reduce.cu:301-315)
+    evaluated independently in numpy."""
+    mu, p, iters = 10.0, 0.5, 3
+    rng = np.random.RandomState(0)
+    h = rng.randn(64, 3).astype(np.float32) * 0.5
+
+    alpha_a = ((2.0 / mu) * (1.0 - p)) ** (1.0 / (2.0 - p))
+    h_tilde = alpha_a + (p / mu) * alpha_a ** (p - 1.0)
+    out_ref = np.zeros_like(h)
+    for i in range(h.shape[0]):
+        hn = np.linalg.norm(h[i])
+        if hn <= h_tilde:
+            continue
+        beta = (alpha_a / hn + 1.0) / 2.0
+        for _ in range(iters):
+            beta = 1.0 - (p / mu) * hn ** (p - 2.0) * beta ** (p - 1.0)
+        out_ref[i] = beta * h[i]
+
+    out = np.asarray(icp_ops.lp_shrink(jnp.asarray(h), mu, p, iters))
+    np.testing.assert_allclose(out, out_ref, rtol=1e-5, atol=1e-6)
+    # inside the threshold -> exactly zero
+    assert (np.linalg.norm(out, axis=-1)[np.linalg.norm(h, axis=-1) <= h_tilde]
+            == 0).all()
+
+
+def test_sparse_icp_tracks():
+    """Sparse-ICP mode (registrationICPUseSparseICP) still converges on the
+    standard two-frame fixture."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, icp_use_sparse=True)
+    pose0 = np.eye(4, dtype=np.float32)
+    pose1 = pose0.copy()
+    pose1[:3, 3] = [0.01, -0.008, 0.012]
+    est, res = _track_pair(pose0, pose1, cfg=cfg)
+    err = np.linalg.norm(est[:3, 3] - pose1[:3, 3])
+    assert np.isfinite(est).all()
+    assert err < 0.004, err
