@@ -29,7 +29,7 @@ class FullSLAM:
 
     def __init__(self, intr: CameraIntrinsics, cfg: SLAMConfig,
                  backend_kwargs: dict | None = None, init_pose=None,
-                 loop_kwargs: dict | None = None):
+                 loop_kwargs: dict | None = None, async_ba: bool = False):
         self.intr = intr
         self.cfg = cfg
         self.init_pose = init_pose
@@ -44,6 +44,77 @@ class FullSLAM:
         self.timestamps: list[float] = []
         self.kf_of_frame: list[int] = []
         self.loop_closures: list[tuple[int, int]] = []
+
+        # --- pipeline parallelism between tracking and mapping/BA (SURVEY
+        # §2.14): the reference BLOCKS the tracking thread on LocalMapping's
+        # condvar after every keyframe (HRBFFusion.cpp:1154-1157); in async
+        # mode keyframe processing + local BA (+ loop closing) run in a
+        # worker thread and the dense pipeline keeps stepping — corrections
+        # are applied at the next frame boundary after they arrive.  Like
+        # the reference's NeedNewSubMap idle check, a new keyframe is only
+        # inserted when the worker is idle.
+        self.async_ba = async_ba
+        self._last_kf_time = -(10 ** 9)
+        self._inflight = 0
+        self.async_corrections = 0
+        if async_ba:
+            import queue
+            import threading
+
+            self._kf_queue: "queue.Queue" = queue.Queue()
+            self._result_queue: "queue.Queue" = queue.Queue()
+            self._worker = threading.Thread(target=self._ba_worker, daemon=True)
+            self._worker.start()
+
+    # ------------------------------------------------------------------ #
+    def _ba_worker(self):
+        """LocalMapping::Run + LoopClosing::Run equivalent (worker thread)."""
+        while True:
+            item = self._kf_queue.get()
+            if item is None:
+                return
+            intensity, depth_f, pose, time = item
+            kf_id = self.backend.insert_keyframe(intensity, depth_f, pose, time)
+            mask = self.backend.active_submap_mask(kf_id, self.cfg.max_submaps)
+            deltas = self.backend.local_ba()
+            loop = None
+            if self.loop_closer is not None:
+                cand = self.loop_closer.add_keyframe(kf_id)
+                if cand is not None:
+                    loop = (self.loop_closer.correct(cand), cand)
+            self._result_queue.put((kf_id, mask, deltas, loop))
+
+    def _drain_async_results(self):
+        """Apply any finished BA/loop corrections at a frame boundary."""
+        import queue
+
+        while True:
+            try:
+                kf_id, mask, deltas, loop = self._result_queue.get_nowait()
+            except queue.Empty:
+                return
+            self._inflight -= 1
+            self.state = self.state._replace(
+                active_submaps=jnp.asarray(mask))
+            if deltas is not None:
+                self._apply_correction(deltas, kf_id)
+                self.async_corrections += 1
+            if loop is not None:
+                loop_deltas, cand = loop
+                self._apply_correction(loop_deltas, kf_id)
+                self.loop_closures.append((cand.match_kf, cand.query_kf))
+
+    def join_backend(self):
+        """Block until all queued keyframes are processed and applied
+        (sequence end — SaveTrajectory parity needs final corrections)."""
+        if not self.async_ba:
+            return
+        while self._inflight > 0 or not self._kf_queue.empty():
+            import time as _time
+
+            self._drain_async_results()
+            _time.sleep(0.005)
+        self._drain_async_results()
 
     # ------------------------------------------------------------------ #
     def _kf_inputs(self, frame: slam.FrameInput):
@@ -65,6 +136,7 @@ class FullSLAM:
                 intensity, depth_f = self._kf_inputs(frame)
                 kf_id = self.backend.insert_keyframe(
                     intensity, depth_f, pose, time=int(self.state.time))
+                self._last_kf_time = int(self.state.time)
                 self.state = self.state._replace(submap_idx=jnp.int32(kf_id))
                 if self.loop_closer is not None:
                     self.loop_closer.add_keyframe(kf_id)
@@ -73,7 +145,24 @@ class FullSLAM:
             pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
             time = int(self.state.time)
 
-            if cfg.use_local_ba and self.backend.need_new_keyframe(time):
+            if self.async_ba and cfg.use_local_ba:
+                self._drain_async_results()
+                idle = self._inflight == 0
+                if idle and (time - self._last_kf_time) >= cfg.keyframe_period:
+                    intensity, depth_f = self._kf_inputs(frame)
+                    kf_id = len(self.backend.keyframes) + self._inflight
+                    self._last_kf_time = time
+                    self._inflight += 1
+                    # the new submap must be active immediately (its surfels
+                    # are fused under kf_id before the worker's covisibility
+                    # mask arrives)
+                    act = np.array(self.state.active_submaps)  # writable copy
+                    act[kf_id] = True
+                    self.state = self.state._replace(
+                        submap_idx=jnp.int32(kf_id),
+                        active_submaps=jnp.asarray(act))
+                    self._kf_queue.put((intensity, depth_f, pose, time))
+            elif cfg.use_local_ba and self.backend.need_new_keyframe(time):
                 intensity, depth_f = self._kf_inputs(frame)
                 kf_id = self.backend.insert_keyframe(intensity, depth_f, pose, time)
                 # refresh the active (covisible) keyframe set that masks
@@ -101,7 +190,9 @@ class FullSLAM:
 
         self.trajectory.append(pose)
         self.timestamps.append(timestamp)
-        self.kf_of_frame.append(len(self.backend.keyframes) - 1)
+        # the submap this frame's surfels carry (== last keyframe id; in
+        # async mode the backend's list may lag the enqueued keyframe)
+        self.kf_of_frame.append(int(self.state.submap_idx))
         return pose
 
     # ------------------------------------------------------------------ #

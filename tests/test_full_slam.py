@@ -73,3 +73,27 @@ def test_full_slam_dense_map_follows_correction():
     mask = found & (d > 0.3)
     err = np.abs(np.asarray(pred.vertex[..., 2]) - d)[mask]
     assert np.median(err) < 0.02, np.median(err)
+
+
+def test_full_slam_async_ba():
+    """Pipeline-parallel mode: keyframe processing + BA run in a worker
+    thread (the reference BLOCKS tracking on LocalMapping,
+    HRBFFusion.cpp:1154-1157); corrections apply at frame boundaries and
+    accuracy stays comparable to the synchronous path."""
+    n = 26
+    gt = synth.orbit_trajectory(n, angle_per_frame=0.004)
+    scene = synth.default_room()
+    sys = FullSLAM(INTR, CFG, backend_kwargs=dict(fast_threshold=8.0),
+                   init_pose=gt[0], async_ba=True)
+    for i in range(n):
+        d, c = synth.render_frame_jit(scene, jnp.asarray(gt[i]), INTR)
+        sys.process(slam.FrameInput(depth=d, rgb=c), timestamp=i / 30.0)
+    sys.join_backend()
+
+    est = sys.poses()
+    err = ate.ate_rmse(est, gt, align=False)
+    assert err < 0.03, err
+    # the worker actually processed keyframes and produced corrections
+    assert len(sys.backend.keyframes) >= 3
+    assert sys.async_corrections >= 1
+    assert sys._inflight == 0
