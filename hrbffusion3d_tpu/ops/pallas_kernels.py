@@ -194,7 +194,7 @@ def _ring_taps(radius: int):
 
 
 def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
-                    STEPS, STEP, BIS, FX, FY, CX, CY):
+                    STEPS, STEP, BIS, FX, FY, CX, CY, TAPSTACK=True):
     """Per-block HRBF raycast with the neighbor window in VMEM.
 
     attr channels (channels-first): 0:3 pos | 3:6 nrm | 6 conf | 7 radius
@@ -222,8 +222,14 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
     rn = jax.lax.rsqrt(rx * rx + ry * ry + 1.0)
     rx, ry, rz = rx * rn, ry * rn, rn
 
-    # ---- pass 1: stability filter + ring-order K cap + t0 ----
+    # ---- pass 1: stability filter + ring-order K cap + t0.  With
+    # TAPSTACK the per-tap channels are materialised ONCE as kernel-local
+    # stacks (sublane/lane-rotated copies happen here only); otherwise every
+    # f-evaluation re-slices the halo block.
     sel = []                                  # (BH, W) f32 masks per tap
+    tap_px, tap_py, tap_pz = [], [], []       # position
+    tap_cx, tap_cy, tap_cz = [], [], []       # normal * HERMITE_SCALE
+    tap_T2, tap_iT2 = [], []                  # support^2, 1/max(support^2,eps)
     cnt = jnp.zeros((BH, W), jnp.float32)
     t0 = jnp.full((BH, W), 1e6, jnp.float32)
     for dy, dx in taps:
@@ -241,37 +247,60 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
         sel.append(s.astype(jnp.float32))
         proj = jnp.abs(px * rx + py * ry + pz * rz)
         t0 = jnp.where(s > 0, jnp.minimum(t0, proj), t0)
+        if TAPSTACK:
+            T = ch(7, dy, dx)
+            T2 = T * T
+            tap_px.append(px)
+            tap_py.append(py)
+            tap_pz.append(pz)
+            tap_cx.append(hrbf.HERMITE_SCALE * nx)
+            tap_cy.append(hrbf.HERMITE_SCALE * ny)
+            tap_cz.append(hrbf.HERMITE_SCALE * nz)
+            tap_T2.append(T2)
+            tap_iT2.append(1.0 / jnp.maximum(T2, 1e-12))
     n_nb = sum(sel)                           # number selected (<= K)
+
+    def tap_data(j):
+        """(px, py, pz, cx, cy, cz, T2, iT2) of ring tap j."""
+        if TAPSTACK:
+            return (tap_px[j], tap_py[j], tap_pz[j], tap_cx[j], tap_cy[j],
+                    tap_cz[j], tap_T2[j], tap_iT2[j])
+        dy, dx = taps[j]
+        T = ch(7, dy, dx)
+        T2 = T * T
+        return (ch(0, dy, dx), ch(1, dy, dx), ch(2, dy, dx),
+                hrbf.HERMITE_SCALE * ch(3, dy, dx),
+                hrbf.HERMITE_SCALE * ch(4, dy, dx),
+                hrbf.HERMITE_SCALE * ch(5, dy, dx),
+                T2, 1.0 / jnp.maximum(T2, 1e-12))
 
     def f_at(ts):
         """HRBF value f(ts * ray) — ts any (..., BH, W); returns same shape."""
         qx, qy, qz = ts * rx, ts * ry, ts * rz
         f = jnp.zeros(ts.shape, jnp.float32)
-        for j, (dy, dx) in enumerate(taps):
-            vx = qx - ch(0, dy, dx)
-            vy = qy - ch(1, dy, dx)
-            vz = qz - ch(2, dy, dx)
+        for j in range(len(taps)):
+            px, py, pz, cx, cy, cz, T2, iT2 = tap_data(j)
+            vx = qx - px
+            vy = qy - py
+            vz = qz - pz
             d2 = vx * vx + vy * vy + vz * vz
-            T = ch(7, dy, dx)
-            T2 = jnp.maximum(T * T, 1e-12)
-            r = jnp.sqrt(d2 / T2)
+            r = jnp.sqrt(d2 * iT2)
             s = jnp.maximum(1.0 - r, 0.0)
-            vc = (vx * ch(3, dy, dx) + vy * ch(4, dy, dx)
-                  + vz * ch(5, dy, dx)) * hrbf.HERMITE_SCALE
-            m = (sel[j] > 0) & (d2 < T * T)
-            f += jnp.where(m, 20.0 * (s ** 3) / T2 * vc, 0.0)
+            vc = vx * cx + vy * cy + vz * cz
+            m = (sel[j] > 0) & (d2 < T2)
+            f += jnp.where(m, 20.0 * (s ** 3) * iT2 * vc, 0.0)
         return f
 
     # ---- centre support count (frag: enough neighbors in support) ----
     ncnt = jnp.zeros((BH, W), jnp.float32)
     cxp, cyp, czp = t0 * rx, t0 * ry, t0 * rz
-    for j, (dy, dx) in enumerate(taps):
-        vx = cxp - ch(0, dy, dx)
-        vy = cyp - ch(1, dy, dx)
-        vz = czp - ch(2, dy, dx)
+    for j in range(len(taps)):
+        px, py, pz, _, _, _, T2, _ = tap_data(j)
+        vx = cxp - px
+        vy = cyp - py
+        vz = czp - pz
         d2 = vx * vx + vy * vy + vz * vz
-        T = ch(7, dy, dx)
-        ncnt += ((sel[j] > 0) & (d2 < T * T)).astype(jnp.float32)
+        ncnt += ((sel[j] > 0) & (d2 < T2)).astype(jnp.float32)
 
     # ---- ladder: march from t0 in sign(f0) direction until the sign flips
     # (frag:153-231).  Each pixel marches only its OWN direction (the XLA
@@ -326,24 +355,20 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
     # nearest selected neighbor (ring-tap index) for attribute lookup
     best_d2 = jnp.full((BH, W), 1e12, jnp.float32)
     best_j = jnp.zeros((BH, W), jnp.float32)
-    for j, (dy, dx) in enumerate(taps):
-        vx = sx - ch(0, dy, dx)
-        vy = sy - ch(1, dy, dx)
-        vz = sz - ch(2, dy, dx)
+    for j in range(len(taps)):
+        px, py, pz, cxn, cyn, czn, T2r, iT2 = tap_data(j)
+        vx = sx - px
+        vy = sy - py
+        vz = sz - pz
         d2 = vx * vx + vy * vy + vz * vz
-        T = ch(7, dy, dx)
-        T2 = jnp.maximum(T * T, 1e-12)
-        r = jnp.sqrt(d2 / T2)
+        r = jnp.sqrt(d2 * iT2)
         safe_r = jnp.maximum(r, 1e-20)
         s = jnp.maximum(1.0 - r, 0.0)
-        cxn = hrbf.HERMITE_SCALE * ch(3, dy, dx)
-        cyn = hrbf.HERMITE_SCALE * ch(4, dy, dx)
-        czn = hrbf.HERMITE_SCALE * ch(5, dy, dx)
         vc = vx * cxn + vy * cyn + vz * czn
-        a = -20.0 * (s ** 3) / T2
-        b = 60.0 * (s * s / safe_r) / (T2 * T2)
-        m = ((sel[j] > 0) & (d2 <= T * T) & (d2 > 0.0)).astype(jnp.float32)
-        a0 = -20.0 / T2 * ((sel[j] > 0) & (d2 == 0.0)).astype(jnp.float32)
+        a = -20.0 * (s ** 3) * iT2
+        b = 60.0 * (s * s / safe_r) * (iT2 * iT2)
+        m = ((sel[j] > 0) & (d2 <= T2r) & (d2 > 0.0)).astype(jnp.float32)
+        a0 = -20.0 * iT2 * ((sel[j] > 0) & (d2 == 0.0)).astype(jnp.float32)
         g0 -= m * (a * cxn + b * vc * vx) + a0 * cxn
         g1 -= m * (a * cyn + b * vc * vy) + a0 * cyn
         g2 -= m * (a * czn + b * vc * vz) + a0 * czn
@@ -364,7 +389,7 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
 
 
 def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
-                 interpret: bool = False):
+                 interpret: bool = False, tapstack: bool = True):
     """Run the fused raycast kernel over a (H, W, 9) stability-attr image
     [pos(3) | nrm(3) | conf | radius | valid].  Returns (p_surf (H,W,3),
     grad (H,W,3) unnormalised, nearest ring-tap idx (H,W) int32,
@@ -381,7 +406,8 @@ def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
         CONF_T=cfg.predict_conf_threshold,
         STEPS=cfg.raycast_coarse_steps, STEP=cfg.raycast_coarse_step,
         BIS=cfg.raycast_bisection_iters,
-        FX=intr.fx, FY=intr.fy, CX=intr.cx, CY=intr.cy)
+        FX=intr.fx, FY=intr.fy, CX=intr.cx, CY=intr.cy,
+        TAPSTACK=tapstack)
     out = pl.pallas_call(
         kern,
         grid=(nb,),
