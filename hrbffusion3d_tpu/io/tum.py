@@ -64,6 +64,41 @@ def frames(root: str, associations: str = "associations.txt",
         yield load_frame(root, rgb_p, depth_p, ts, depth_scale)
 
 
+def frames_prefetched(root: str, associations: str = "associations.txt",
+                      start: int = 0, end: int | None = None,
+                      depth_scale: float = TUM_DEPTH_SCALE,
+                      workers: int = 3, depth_ahead: int = 8) -> Iterator[TUMFrame]:
+    """Like :func:`frames`, but PNG decoding runs ahead of the consumer in a
+    thread pool (the runtime analogue of the native .klg prefetcher,
+    native/dataloader.cpp — PNG decode is pure-python/PIL, so a thread pool
+    rather than a C++ ring buffer; ~10-15 ms/frame of decode hides behind
+    the device step)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    assoc = read_associations(os.path.join(root, associations))
+    if end is not None:
+        assoc = assoc[:end]
+    assoc = assoc[start:]
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = []
+        it = iter(assoc)
+        for _ in range(depth_ahead):
+            nxt = next(it, None)
+            if nxt is None:
+                break
+            ts, rgb_p, depth_p = nxt
+            pending.append(pool.submit(load_frame, root, rgb_p, depth_p,
+                                       ts, depth_scale))
+        while pending:
+            fut = pending.pop(0)
+            nxt = next(it, None)
+            if nxt is not None:
+                ts, rgb_p, depth_p = nxt
+                pending.append(pool.submit(load_frame, root, rgb_p, depth_p,
+                                           ts, depth_scale))
+            yield fut.result()
+
+
 def load_groundtruth(path: str):
     """TUM groundtruth.txt -> (timestamps (N,), poses (N,4,4) world<-cam)
     (GroundTruthOdometry.cpp semantics)."""

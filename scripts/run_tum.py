@@ -56,7 +56,7 @@ def main():
     sys_ = FullSLAM(intr, cfg)
     t0 = time.time()
     n = 0
-    for fr in tum.frames(args.root, start=args.start, end=args.end):
+    for fr in tum.frames_prefetched(args.root, start=args.start, end=args.end):
         sys_.process(
             slam.FrameInput(depth=jnp.asarray(fr.depth), rgb=jnp.asarray(fr.rgb)),
             timestamp=fr.timestamp,

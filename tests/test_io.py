@@ -122,3 +122,32 @@ def test_hrbf_projection_onto_plane():
     x = jnp.array([0.02, -0.01, 1.04])
     proj = hrbf.hrbf_projection(x, pos, n, sup, mask)
     np.testing.assert_allclose(float(proj[2]), 1.0, atol=5e-3)
+
+
+def test_tum_prefetched_matches_sequential(tmp_path):
+    """frames_prefetched yields the exact same frames in the same order."""
+    import numpy as np
+    from PIL import Image
+
+    from hrbffusion3d_tpu.io import tum
+
+    root = tmp_path
+    (root / "rgb").mkdir()
+    (root / "depth").mkdir()
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(7):
+        rgb = rng.randint(0, 255, (12, 16, 3), np.uint8)
+        depth = rng.randint(0, 10000, (12, 16)).astype(np.uint16)
+        Image.fromarray(rgb).save(root / "rgb" / f"{i}.png")
+        Image.fromarray(depth).save(root / "depth" / f"{i}.png")
+        lines.append(f"{i}.0 rgb/{i}.png {i}.0 depth/{i}.png")
+    (root / "associations.txt").write_text("\n".join(lines))
+
+    seq = list(tum.frames(str(root)))
+    pre = list(tum.frames_prefetched(str(root), workers=2, depth_ahead=3))
+    assert len(seq) == len(pre) == 7
+    for a, b in zip(seq, pre):
+        assert a.timestamp == b.timestamp
+        np.testing.assert_array_equal(a.depth, b.depth)
+        np.testing.assert_array_equal(a.rgb, b.rgb)
