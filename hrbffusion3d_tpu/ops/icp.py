@@ -22,6 +22,7 @@ Design notes (TPU):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -135,6 +136,153 @@ def pack_last(last_depth: jnp.ndarray, last_intensity: jnp.ndarray) -> jnp.ndarr
         sh(last_depth, 1, 0), sh(last_intensity, 1, 0),
         sh(last_depth, 1, 1), sh(last_intensity, 1, 1),
     ], axis=-1)
+
+
+def pack_joint(vmap_g: jnp.ndarray, nmap_g: jnp.ndarray,
+               icp_weight: jnp.ndarray, last_depth: jnp.ndarray,
+               last_intensity: jnp.ndarray) -> jnp.ndarray:
+    """(H*W, 36) rows packing [v(3) n(3) w d i] for the 2x2 footprint
+    (corners 00,01,10,11 via shifted copies).  The ICP projective target
+    (rounded pixel) and the photometric bilinear footprint (floored pixel)
+    live in the same 2x2 window, so ONE row gather per GN iteration serves
+    both terms (gather cost on TPU is per-row; width is ~free)."""
+    h, w = icp_weight.shape
+    P = h * w
+
+    base = jnp.concatenate([
+        vmap_g.reshape(P, 3), nmap_g.reshape(P, 3),
+        icp_weight.reshape(P, 1), last_depth.reshape(P, 1),
+        last_intensity.reshape(P, 1),
+    ], axis=-1).reshape(h, w, 9)
+
+    def sh(dy, dx):
+        out = jnp.roll(base, (-dy, -dx), axis=(0, 1))
+        if dy:
+            out = out.at[-dy:, :].set(0.0)
+        if dx:
+            out = out.at[:, -dx:].set(0.0)
+        return out.reshape(P, 9)
+
+    return jnp.concatenate(
+        [base.reshape(P, 9), sh(0, 1), sh(1, 0), sh(1, 1)], axis=-1)
+
+
+def joint_step(
+    R_curr: jnp.ndarray, t_curr: jnp.ndarray,
+    R_prev_inv: jnp.ndarray, t_prev: jnp.ndarray,
+    vmap_curr: jnp.ndarray, nmap_curr: jnp.ndarray,
+    next_depth: jnp.ndarray,
+    joint_rows: jnp.ndarray,        # (H*W, 36) from pack_joint
+    next_image: jnp.ndarray,
+    static_valid: jnp.ndarray,
+    intr: CameraIntrinsics, cfg: SLAMConfig,
+):
+    """Fused ICP + photometric correspondence pass sharing ONE row gather
+    (the default-config fast path; identical math to icp_step(R=0) +
+    rgb_residual up to fp association order — both warp through the same
+    K T^-1 transform, reduce.cu:317-334 vs reduce.cu:1013-1028).
+
+    The shared warp comes from the UNGATED depth (the photometric term uses
+    every pixel with depth, reduce.cu:1013; the vertex map is additionally
+    gated by normal/depth-range validity, which only the ICP term requires
+    — where the gate passes both unprojections are bit-identical).
+
+    Returns (icp StepResult, RGBCorres)."""
+    from ..core import camera
+
+    h, w = vmap_curr.shape[:2]
+    n_pix = h * w
+    vcurr = camera.unproject(next_depth, intr).reshape(n_pix, 3)
+    vmap_z = vmap_curr.reshape(n_pix, 3)[:, 2]
+    ncurr = nmap_curr.reshape(n_pix, 3)
+    valid_curr = (vmap_z > 0) & (jnp.sum(ncurr * ncurr, axis=-1) > 0.25)
+
+    # full-precision warp: the TPU matmul default is bf16, which shifts the
+    # warped coordinate by ~0.2 px — the reference's photometric warp is
+    # plain f32 scalar arithmetic (reduce.cu:1013-1028)
+    dot = functools.partial(jnp.matmul, precision=_HI)
+    vcurr_g = dot(vcurr, R_curr.T) + t_curr
+    ncurr_g = dot(ncurr, R_curr.T)
+    vcurr_cp = dot(vcurr_g - t_prev, R_prev_inv.T)
+
+    z = vcurr_cp[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    u0f = vcurr_cp[:, 0] * intr.fx / safe_z + intr.cx
+    v0f = vcurr_cp[:, 1] * intr.fy / safe_z + intr.cy
+
+    # floor coords clamped BEFORE the fraction so boundary pixels (e.g.
+    # u0f in [-0.5, 0), valid for the rounding ICP term) select corner 00
+    # at the clamped pixel — matching the separate paths' clamped gathers
+    u0 = jnp.clip(jnp.floor(u0f).astype(jnp.int32), 0, w - 1)
+    v0 = jnp.clip(jnp.floor(v0f).astype(jnp.int32), 0, h - 1)
+    au = u0f - u0.astype(jnp.float32)
+    av = v0f - v0.astype(jnp.float32)
+
+    # ---- the ONE gather ----
+    flat = v0 * w + u0
+    c = joint_rows[flat]                               # (N, 36)
+
+    # ---- ICP term: nearest-corner model row (u = round(u0f)) ----
+    near_u = (au > 0.5)[:, None]
+    near_v = (av > 0.5)[:, None]
+    # branchless corner select (a take_along_axis here would be another
+    # per-element gather — 3 wide selects are pure VPU work)
+    sel = jnp.where(near_v,
+                    jnp.where(near_u, c[:, 27:36], c[:, 18:27]),
+                    jnp.where(near_u, c[:, 9:18], c[:, 0:9]))
+    vp = sel[:, 0:3]
+    np_ = sel[:, 3:6]
+    wp = sel[:, 6]
+    near_u = near_u[:, 0]
+    near_v = near_v[:, 0]
+
+    ui = jnp.round(u0f).astype(jnp.int32)
+    vi = jnp.round(v0f).astype(jnp.int32)
+    in_img = (ui >= 0) & (vi >= 0) & (ui < w) & (vi < h) & (z > 0)
+    ok = (
+        in_img & valid_curr
+        & (vp[:, 2] != 0)
+        & (jnp.sum(np_ * np_, axis=-1) > 1e-6)
+    )
+    dist = jnp.linalg.norm(vp - vcurr_g, axis=-1)
+    sine = jnp.linalg.norm(jnp.cross(ncurr_g, np_), axis=-1)
+    found = ok & (sine <= cfg.angle_threshold) & (dist <= cfg.dist_threshold)
+
+    s_cp = vcurr_cp
+    d_cp = (vp - t_prev) @ R_prev_inv.T
+    n_cp = np_ @ R_prev_inv.T
+    r = jnp.sum(n_cp * (s_cp - d_cp), axis=-1)
+    rows = jnp.concatenate([n_cp, jnp.cross(s_cp, n_cp), r[:, None]], axis=-1)
+    rows = jnp.where(found[:, None], rows, 0.0)
+    if cfg.icp_use_weighted:
+        weight = jnp.where(found & jnp.isfinite(wp), wp, 0.0)
+    else:
+        weight = found.astype(rows.dtype)
+    A, b, r2 = _gram(rows, weight)
+    icp_res = StepResult(A=A, b=b, residual2=r2,
+                         count=jnp.sum(found.astype(jnp.float32)))
+
+    # ---- photometric term: bilinear intensity, nearest depth ----
+    d00, i00 = c[:, 7], c[:, 8]
+    d01, i01 = c[:, 16], c[:, 17]
+    d10, i10 = c[:, 25], c[:, 26]
+    d11, i11 = c[:, 34], c[:, 35]
+    i_last = (i00 * (1 - au) * (1 - av) + i01 * au * (1 - av)
+              + i10 * (1 - au) * av + i11 * au * av)
+    d0 = jnp.where(near_v, jnp.where(near_u, d11, d10),
+                   jnp.where(near_u, d01, d00))
+    in_last = (u0f >= 0) & (v0f >= 0) & (u0f <= w - 1) & (v0f <= h - 1) & (z > 0)
+    td1 = z
+    i_next = next_image.reshape(n_pix)
+    depth_ok = (d0 > 0) & (jnp.abs(td1 - d0) <= cfg.max_depth_delta_rgb) & (i_last != 0)
+    rgb_valid = static_valid & in_last & depth_ok
+    diff = jnp.where(rgb_valid, i_next - i_last, 0.0)
+    corres = RGBCorres(
+        u0f=u0f, v0f=v0f, d0=d0, diff=diff, valid=rgb_valid,
+        sigma_sum=jnp.sum(diff * diff),
+        count=jnp.sum(rgb_valid.astype(jnp.float32)),
+    )
+    return icp_res, corres
 
 
 def rgb_static_valid(next_image: jnp.ndarray, d_idx: jnp.ndarray,

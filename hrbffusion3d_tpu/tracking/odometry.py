@@ -191,14 +191,25 @@ def track(
         Kinv = jnp.linalg.inv(K)
         d_idx, d_idy = pyr_ops.sobel_derivatives(inp.next_intensity[lvl])
         min_scale = (cfg.min_gradient_magnitudes[lvl] ** 2) / (cfg.sobel_scale ** 2)
+        use_sparse = cfg.icp_use_sparse and use_icp
+        # joint fast path: ICP + photometric share ONE row gather per
+        # iteration (default config; the specialised modes keep the
+        # separate formulations)
+        use_joint = (use_rgb and use_icp and not use_sparse
+                     and not cfg.icp_use_correspondence_search)
         # per-level packed constants, hoisted out of the GN iterations
-        model_rows = icp_ops.pack_model(
-            inp.last_vmap_g[lvl], inp.last_nmap_g[lvl], inp.icp_weight[lvl])
-        last_rows = icp_ops.pack_last(inp.last_depth[lvl], inp.last_intensity[lvl])
+        if use_joint:
+            model_rows = icp_ops.pack_joint(
+                inp.last_vmap_g[lvl], inp.last_nmap_g[lvl],
+                inp.icp_weight[lvl], inp.last_depth[lvl],
+                inp.last_intensity[lvl])
+            last_rows = None
+        else:
+            model_rows = icp_ops.pack_model(
+                inp.last_vmap_g[lvl], inp.last_nmap_g[lvl], inp.icp_weight[lvl])
+            last_rows = icp_ops.pack_last(inp.last_depth[lvl], inp.last_intensity[lvl])
         static_valid = icp_ops.rgb_static_valid(
             inp.next_intensity[lvl], d_idx, d_idy, inp.next_depth[lvl], min_scale)
-
-        use_sparse = cfg.icp_use_sparse and use_icp
 
         def body(_, carry, lvl=lvl, li=li, K=K, Kinv=Kinv, d_idx=d_idx,
                  d_idy=d_idy, model_rows=model_rows, last_rows=last_rows,
@@ -221,7 +232,27 @@ def track(
             A = jnp.zeros((6, 6), jnp.float32)
             b = jnp.zeros((6,), jnp.float32)
 
-            if use_rgb:
+            if use_joint:
+                icp_res, corres = icp_ops.joint_step(
+                    R_curr, t_curr, prev_R_inv, prev_t,
+                    inp.next_vmap[lvl], inp.next_nmap[lvl],
+                    inp.next_depth[lvl],
+                    model_rows, inp.next_intensity[lvl], static_valid,
+                    li, cfg)
+                sigma_val = jnp.where(
+                    rgb_only, jnp.float32(-1.0),
+                    jnp.sqrt(jnp.maximum(corres.count, 1.0)))
+                rgb_res = icp_ops.rgb_step(corres, sigma_val, d_idx, d_idy, li, cfg)
+                w = cfg.icp_weight
+                A = rgb_res.A + (w * w) * icp_res.A
+                b = rgb_res.b + w * icp_res.b
+                st = {
+                    "rgb_e": jnp.sqrt(corres.sigma_sum) / jnp.maximum(corres.count, 1.0),
+                    "rgb_c": corres.count,
+                    "icp_e": jnp.sqrt(icp_res.residual2) / jnp.maximum(icp_res.count, 1.0),
+                    "icp_c": icp_res.count,
+                }
+            elif use_rgb:
                 corres = icp_ops.rgb_residual(
                     krkinv, kt, inp.next_depth[lvl], inp.next_intensity[lvl],
                     last_rows, static_valid, cfg,
@@ -241,7 +272,7 @@ def track(
                       "rgb_c": corres.count}
 
             extras = None
-            if use_icp:
+            if use_icp and not use_joint:
                 has_curv = len(inp.next_k1) > 0
                 icp_out = icp_ops.icp_step(
                     R_curr, t_curr, prev_R_inv, prev_t,

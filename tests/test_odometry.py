@@ -189,3 +189,62 @@ def test_sparse_icp_tracks():
     err = np.linalg.norm(est[:3, 3] - pose1[:3, 3])
     assert np.isfinite(est).all()
     assert err < 0.004, err
+
+
+def test_joint_fast_path_matches_separate():
+    """The fused one-gather ICP+RGB pass must produce the same normal
+    equations as the separate formulations on identical inputs (the strong
+    invariant — fp noise compounds through 19 GN iterations on this weakly
+    constrained synthetic fixture, so end poses are only compared
+    loosely)."""
+    import dataclasses
+
+    pose0 = np.eye(4, dtype=np.float32)
+    pose1 = pose0.copy()
+    pose1[:3, 3] = [0.012, -0.006, 0.01]
+
+    d0, i0, pre0 = _make_frame(pose0)
+    d1, i1, pre1 = _make_frame(pose1)
+    vg = jnp.where(pre0.vertex_filtered[..., 2:3] > 0, pre0.vertex_filtered, 0.0)
+    ng = jnp.where(pre0.vertex_filtered[..., 2:3] > 0, pre0.normal, 0.0)
+    wmap = jnp.ones_like(d0)
+    ldep = jnp.where(pre0.vertex_filtered[..., 2] > 0,
+                     pre0.vertex_filtered[..., 2], 0.0)
+    model_rows = icp_ops.pack_model(vg, ng, wmap)
+    last_rows = icp_ops.pack_last(ldep, i0)
+    joint_rows = icp_ops.pack_joint(vg, ng, wmap, ldep, i0)
+    d_idx, d_idy = pyramid.sobel_derivatives(i1)
+    min_scale = (CFG.min_gradient_magnitudes[0] ** 2) / (CFG.sobel_scale ** 2)
+    sv = icp_ops.rgb_static_valid(i1, d_idx, d_idy, d1, min_scale)
+    eye3, zero3 = jnp.eye(3), jnp.zeros(3)
+
+    res_sep = icp_ops.icp_step(eye3, zero3, eye3, zero3,
+                               pre1.vertex_filtered, pre1.normal,
+                               model_rows, INTR, CFG)
+    K = np.array([[INTR.fx, 0, INTR.cx], [0, INTR.fy, INTR.cy], [0, 0, 1]],
+                 np.float32)
+    krkinv = jnp.asarray(K @ np.linalg.inv(K))
+    corres_sep = icp_ops.rgb_residual(krkinv, zero3, d1, i1, last_rows, sv, CFG)
+    res_j, corres_j = icp_ops.joint_step(
+        eye3, zero3, eye3, zero3, pre1.vertex_filtered, pre1.normal,
+        d1, joint_rows, i1, sv, INTR, CFG)
+
+    np.testing.assert_allclose(np.asarray(res_j.A), np.asarray(res_sep.A),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_j.b), np.asarray(res_sep.b),
+                               rtol=1e-5, atol=1e-5)
+    assert float(res_j.count) == float(res_sep.count)
+    assert float(corres_j.count) == float(corres_sep.count)
+    assert int(np.sum(np.asarray(corres_j.valid) != np.asarray(corres_sep.valid))) == 0
+    both = np.asarray(corres_j.valid)
+    np.testing.assert_allclose(np.asarray(corres_j.u0f)[both],
+                               np.asarray(corres_sep.u0f)[both], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(corres_j.diff)[both],
+                               np.asarray(corres_sep.diff)[both], atol=5e-3)
+
+    # end-to-end: same solution basin
+    est_joint, _ = _track_pair(pose0, pose1, cfg=CFG)
+    cfg_sep = dataclasses.replace(CFG, icp_use_correspondence_search=True,
+                                  icp_search_radius=0)
+    est_sep, _ = _track_pair(pose0, pose1, cfg=cfg_sep)
+    np.testing.assert_allclose(est_joint[:3, 3], est_sep[:3, 3], atol=3e-3)
