@@ -41,6 +41,18 @@ class Keyframe:
     desc: np.ndarray                 # (N,8) uint32
     kp_valid: np.ndarray             # (N,) bool (has descriptor + depth)
     landmark_ids: np.ndarray         # (N,) int64, -1 = none
+    kp_level: Optional[np.ndarray] = None   # (N,) int32 pyramid octave
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(M,8)u32 x (N,8)u32 -> (M,N) Hamming distances (DescriptorDistance,
+    ORBmatcher.cc:1182-1197)."""
+    a8 = a.view(np.uint8).reshape(a.shape[0], -1)
+    b8 = b.view(np.uint8).reshape(b.shape[0], -1)
+    return _POPCNT8[a8[:, None, :] ^ b8[None, :, :]].sum(-1, dtype=np.int32)
 
 
 class SparseBackend:
@@ -153,8 +165,172 @@ class SparseBackend:
             kf_id=kf_id, frame_time=time, pose=pose.copy(),
             kp_xy=xy, kp_cam=cam, desc=np.asarray(kp.desc),
             kp_valid=valid, landmark_ids=lm_ids,
+            kp_level=np.asarray(kp.level),
         ))
+        # projection-guided duplicate fusion over the covisibility
+        # neighbourhood (reference runs this right after ProcessNewKeyFrame
+        # and before local BA, LocalMapping.cc:78)
+        self.search_and_fuse(kf_id)
         return kf_id
+
+    # ------------------------------------------------------------------ #
+    # SearchInNeighbors / ORBmatcher::Fuse
+    # ------------------------------------------------------------------ #
+    SCALE_FACTOR = 1.5          # features.detect_and_describe defaults
+    N_LEVELS = 4
+    TH_LOW = 50                 # ORBmatcher.h:TH_LOW
+    FUSE_CHI2 = 5.99            # mono reprojection gate (ORBmatcher.cc:948)
+
+    def _lm_stats(self, lids: list[int]):
+        """Per-landmark world position, reference descriptor, observation
+        count, mean unit viewing direction, and scale-invariance distance
+        bounds — MapPoint::UpdateNormalAndDepth (MapPoint.cc:333-375) with
+        the first observation as the reference keyframe."""
+        M = len(lids)
+        pos = np.stack([self.landmarks[l] for l in lids]).astype(np.float64)
+        desc = np.zeros((M, 8), np.uint32)
+        nobs = np.zeros((M,), np.int32)
+        normal = np.zeros((M, 3))
+        maxd = np.zeros((M,))
+        sf = self.SCALE_FACTOR
+        for k, lid in enumerate(lids):
+            obs = self.lm_obs[lid]
+            nobs[k] = len(obs)
+            ref_kf, ref_kp = obs[0]
+            kf = self.keyframes[ref_kf]
+            desc[k] = kf.desc[ref_kp]
+            lvl = int(kf.kp_level[ref_kp]) if kf.kp_level is not None else 0
+            dist = np.linalg.norm(pos[k] - kf.pose[:3, 3]) + 1e-12
+            maxd[k] = dist * sf ** lvl
+            for kf_id, _ in obs:
+                v = pos[k] - self.keyframes[kf_id].pose[:3, 3]
+                normal[k] += v / (np.linalg.norm(v) + 1e-12)
+            normal[k] /= len(obs)   # mean of unit vectors, NOT re-normalised
+        mind = maxd / sf ** (self.N_LEVELS - 1)
+        return pos, desc, nobs, normal, maxd, mind
+
+    def _replace_landmark(self, loser: int, winner: int) -> None:
+        """MapPoint::Replace (MapPoint.cc:206-245): transfer the loser's
+        observations to the winner; where the winner already observes that
+        keyframe, the loser's measurement is simply erased."""
+        winner_kfs = {kf for kf, _ in self.lm_obs[winner]}
+        for kf_id, kp_i in self.lm_obs.pop(loser):
+            kf = self.keyframes[kf_id]
+            if kf_id in winner_kfs:
+                kf.landmark_ids[kp_i] = -1
+            else:
+                kf.landmark_ids[kp_i] = winner
+                self.lm_obs[winner].append((kf_id, kp_i))
+                winner_kfs.add(kf_id)
+        del self.landmarks[loser]
+
+    def _fuse_into(self, kf_id: int, lids: list[int], th: float = 3.0) -> int:
+        """ORBmatcher::Fuse(pKF, vpMapPoints) (ORBmatcher.cc:834-983):
+        project each landmark into the keyframe, gate on depth / image
+        bounds / scale-invariance distance / viewing angle, search keypoints
+        in a scale-dependent radius, chi2- and Hamming-gate, then merge
+        duplicate landmarks (higher observation count wins) or add a new
+        observation."""
+        lids = [l for l in lids if l in self.landmarks]
+        if not lids:
+            return 0
+        kf = self.keyframes[kf_id]
+        sf = self.SCALE_FACTOR
+        pos, desc, nobs, normal, maxd, mind = self._lm_stats(lids)
+
+        Tcw = np.linalg.inv(kf.pose)
+        pc = pos @ Tcw[:3, :3].T + Tcw[:3, 3]
+        z = pc[:, 2]
+        ok = z > 0.0
+        zs = np.where(ok, z, 1.0)
+        u = self.intr.fx * pc[:, 0] / zs + self.intr.cx
+        v = self.intr.fy * pc[:, 1] / zs + self.intr.cy
+        ok &= (u >= 0) & (u < self.intr.width) & (v >= 0) & (v < self.intr.height)
+        po = pos - kf.pose[:3, 3]
+        dist = np.linalg.norm(po, axis=-1) + 1e-12
+        ok &= (dist >= 0.8 * mind) & (dist <= 1.2 * maxd)
+        ok &= (po * normal).sum(-1) >= 0.5 * dist        # <60 deg viewing angle
+        # PredictScale (MapPoint.cc:389-404)
+        pred = np.clip(np.ceil(np.log(np.maximum(maxd / dist, 1e-9)) / np.log(sf)),
+                       0, self.N_LEVELS - 1).astype(np.int32)
+        if not ok.any():
+            return 0
+
+        kp_lvl = (kf.kp_level if kf.kp_level is not None
+                  else np.zeros(kf.kp_xy.shape[0], np.int32)).astype(np.int32)
+        d2 = ((u[:, None] - kf.kp_xy[None, :, 0]) ** 2
+              + (v[:, None] - kf.kp_xy[None, :, 1]) ** 2)
+        radius = th * sf ** pred
+        inv_sigma2 = sf ** (-2.0 * kp_lvl)
+        cand = (ok[:, None]
+                & kf.kp_valid[None, :]
+                & (d2 <= radius[:, None] ** 2)
+                & (kp_lvl[None, :] >= pred[:, None] - 1)
+                & (kp_lvl[None, :] <= pred[:, None])
+                & (d2 * inv_sigma2[None, :] <= self.FUSE_CHI2))
+        if not cand.any():
+            return 0
+        ham = np.where(cand, _hamming(desc, kf.desc), 999)
+        best_j = ham.argmin(1)
+        best_d = ham[np.arange(len(lids)), best_j]
+
+        n_fused = 0
+        for i in np.nonzero(best_d <= self.TH_LOW)[0]:
+            lid = lids[i]
+            if lid not in self.landmarks:        # merged away earlier this pass
+                continue
+            if any(k == kf_id for k, _ in self.lm_obs[lid]):   # IsInKeyFrame
+                continue
+            j = int(best_j[i])
+            other = int(kf.landmark_ids[j])
+            if other >= 0:
+                if other == lid or other not in self.landmarks:
+                    continue
+                if len(self.lm_obs[other]) > len(self.lm_obs[lid]):
+                    self._replace_landmark(lid, other)
+                else:
+                    self._replace_landmark(other, lid)
+            else:
+                kf.landmark_ids[j] = lid
+                self.lm_obs[lid].append((kf_id, j))
+            n_fused += 1
+        return n_fused
+
+    def search_and_fuse(self, kf_id: int, th: float = 3.0) -> int:
+        """LocalMapping::SearchInNeighbors (LocalMapping.cc:476-547):
+        fuse the current keyframe's landmarks into the best-10 covisible
+        keyframes plus their 5 second-ring neighbours, then fuse those
+        targets' landmarks back into the current keyframe."""
+        cov = self.covisible_keyframes(kf_id, min_shared=1)
+        counts = {k: 0 for k in cov}
+        kf = self.keyframes[kf_id]
+        for lid in kf.landmark_ids:
+            if lid >= 0:
+                for other, _ in self.lm_obs[lid]:
+                    if other in counts:
+                        counts[other] += 1
+        first_ring = sorted(counts, key=lambda k: -counts[k])[:10]
+        targets: list[int] = []
+        for k in first_ring:
+            if k not in targets:
+                targets.append(k)
+            for k2 in self.covisible_keyframes(k, min_shared=1)[:5]:
+                if k2 != kf_id and k2 not in targets:
+                    targets.append(k2)
+
+        n = 0
+        for tk in targets:
+            n += self._fuse_into(tk, [int(l) for l in kf.landmark_ids if l >= 0],
+                                 th)
+        back: list[int] = []
+        seen: set[int] = set()
+        for tk in targets:
+            for lid in self.keyframes[tk].landmark_ids:
+                if lid >= 0 and lid not in seen:
+                    seen.add(int(lid))
+                    back.append(int(lid))
+        n += self._fuse_into(kf_id, back, th)
+        return n
 
     # ------------------------------------------------------------------ #
     def local_ba(self) -> Optional[np.ndarray]:

@@ -75,6 +75,10 @@ class SLAMConfig:
     icp_weight: float = 10.0                # registrationJointICPWeight
     icp_use_correspondence_search: bool = False
     icp_search_radius: int = 2
+    # single shared row gather per GN iteration for the ICP+photometric
+    # joint system (TPU fast path; equivalence-tested vs the separate
+    # formulations in tests/test_odometry.py)
+    tracking_joint_gather: bool = True
     icp_use_weighted: bool = True           # registrationICPUseWeightedICP
     icp_curv_weight_lambda: float = 10.0    # registrationICPCurvWeightImpactControl
     rgb_use_gradient_weight: bool = False

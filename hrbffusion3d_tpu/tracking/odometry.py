@@ -195,7 +195,8 @@ def track(
         # joint fast path: ICP + photometric share ONE row gather per
         # iteration (default config; the specialised modes keep the
         # separate formulations)
-        use_joint = (use_rgb and use_icp and not use_sparse
+        use_joint = (cfg.tracking_joint_gather
+                     and use_rgb and use_icp and not use_sparse
                      and not cfg.icp_use_correspondence_search)
         # per-level packed constants, hoisted out of the GN iterations
         if use_joint:

@@ -43,7 +43,8 @@ def save(path: str, system: FullSLAM):
         "keyframes": [
             dict(kf_id=k.kf_id, frame_time=k.frame_time, pose=k.pose,
                  kp_xy=k.kp_xy, kp_cam=k.kp_cam, desc=k.desc,
-                 kp_valid=k.kp_valid, landmark_ids=k.landmark_ids)
+                 kp_valid=k.kp_valid, landmark_ids=k.landmark_ids,
+                 kp_level=k.kp_level)
             for k in system.backend.keyframes
         ],
         "landmarks": system.backend.landmarks,
