@@ -125,12 +125,17 @@ class FullSLAM:
         intensity = pyramid.rgb_to_intensity(frame.rgb)
         return intensity, depth_f
 
-    def process(self, frame: slam.FrameInput, timestamp: float = 0.0) -> np.ndarray:
-        """One frame; returns the current pose (4,4)."""
+    def process(self, frame: slam.FrameInput, timestamp: float = 0.0,
+                fixed_pose=None) -> np.ndarray:
+        """One frame; returns the current pose (4,4).
+
+        ``fixed_pose``: optional (4,4) camera-to-world pose — replay mode
+        (globalInputLoadTrajectory): skip tracking, fuse at this pose."""
         cfg = self.cfg
         if self.state is None:
-            self.state = slam.bootstrap(frame, self.intr, cfg,
-                                        init_pose=self.init_pose)
+            self.state = slam.bootstrap(
+                frame, self.intr, cfg,
+                init_pose=fixed_pose if fixed_pose is not None else self.init_pose)
             pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
             if cfg.use_local_ba:
                 intensity, depth_f = self._kf_inputs(frame)
@@ -141,7 +146,11 @@ class FullSLAM:
                 if self.loop_closer is not None:
                     self.loop_closer.add_keyframe(kf_id)
         else:
-            self.state = slam.step(self.state, frame, self.intr, cfg)
+            if fixed_pose is not None:
+                self.state = slam.step(self.state, frame, self.intr, cfg,
+                                       fixed_pose=jnp.asarray(fixed_pose))
+            else:
+                self.state = slam.step(self.state, frame, self.intr, cfg)
             pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
             time = int(self.state.time)
 

@@ -108,36 +108,50 @@ def bootstrap(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig,
 
 
 def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
-              cfg: SLAMConfig) -> SLAMState:
-    """One tracked+fused frame (HRBFFusion.cpp:991-1241, BA hooks excluded)."""
+              cfg: SLAMConfig,
+              fixed_pose: jnp.ndarray | None = None) -> SLAMState:
+    """One tracked+fused frame (HRBFFusion.cpp:991-1241, BA hooks excluded).
+
+    ``fixed_pose``: optional (4,4) camera-to-world pose.  When given,
+    tracking is skipped and the pose is taken as-is — the reference's
+    ``globalInputLoadTrajectory`` replay mode (HRBFFusion.cpp:57-61,
+    1105-1108), which isolates fusion/prediction from tracking."""
     time = state.time + 1
     depth_f, pre, curv, intensity = _preprocess(frame, intr, cfg)
 
-    # ---- TRACKING (frame-to-model, l.1063-1109) ----
-    inp = odometry.build_inputs(
-        next_depth=depth_f,
-        next_intensity=intensity,
-        next_vmap=pre.vertex_filtered,
-        next_nmap=pre.normal,
-        pred_vmap=state.pred_vertex,
-        pred_nmap=state.pred_normal,
-        pred_intensity=state.pred_intensity,
-        icp_weight=state.pred_icp_weight,
-        prev_R=state.R, prev_t=state.t,
-        prev_intensity=state.prev_intensity,
-        cfg=cfg,
-        **({
-            "next_k1": curv.k1, "next_k2": curv.k2,
-            "pred_k1": state.pred_k1, "pred_k2": state.pred_k2,
-        } if cfg.icp_use_correspondence_search else {}),
-    )
-    tr = odometry.track(state.R, state.t, inp, intr, cfg)
-    pose = lie.rt_to_mat(tr.R, tr.t)
+    if fixed_pose is None:
+        # ---- TRACKING (frame-to-model, l.1063-1109) ----
+        inp = odometry.build_inputs(
+            next_depth=depth_f,
+            next_intensity=intensity,
+            next_vmap=pre.vertex_filtered,
+            next_nmap=pre.normal,
+            pred_vmap=state.pred_vertex,
+            pred_nmap=state.pred_normal,
+            pred_intensity=state.pred_intensity,
+            icp_weight=state.pred_icp_weight,
+            prev_R=state.R, prev_t=state.t,
+            prev_intensity=state.prev_intensity,
+            cfg=cfg,
+            **({
+                "next_k1": curv.k1, "next_k2": curv.k2,
+                "pred_k1": state.pred_k1, "pred_k2": state.pred_k2,
+            } if cfg.icp_use_correspondence_search else {}),
+        )
+        tr = odometry.track(state.R, state.t, inp, intr, cfg)
+        new_R, new_t = tr.R, tr.t
+        icp_error, icp_count = tr.icp_error, tr.icp_count
+    else:
+        new_R = fixed_pose[:3, :3]
+        new_t = fixed_pose[:3, 3]
+        icp_error = jnp.float32(0.0)
+        icp_count = jnp.float32(0.0)
+    pose = lie.rt_to_mat(new_R, new_t)
     pose_inv = lie.se3_inverse(pose)
 
     # ---- velocity weighting (l.1112-1126): down-weight fast motion ----
-    dt = jnp.linalg.norm(tr.t - state.t)
-    w_rot = jnp.linalg.norm(lie.so3_log(state.R.T @ tr.R))
+    dt = jnp.linalg.norm(new_t - state.t)
+    w_rot = jnp.linalg.norm(lie.so3_log(state.R.T @ new_R))
     weighting = jnp.clip(1.0 - (dt * 5.0 + w_rot * 2.0), 0.25, 1.0)
     conf = preprocess.confidence_map(pre, curv, intr, cfg, weighting=weighting)
     meas = sm.measurement_from_preprocess(pre, curv, frame.rgb, conf)
@@ -166,14 +180,14 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
     )
 
     return SLAMState(
-        map=m, R=tr.R, t=tr.t, time=time, submap_idx=state.submap_idx,
+        map=m, R=new_R, t=new_t, time=time, submap_idx=state.submap_idx,
         prev_intensity=intensity,
         pred_vertex=filled.vertex, pred_normal=filled.normal,
         pred_intensity=pyramid.rgb_to_intensity(filled.color),
         pred_icp_weight=filled.icp_weight,
         pred_k1=filled.k1, pred_k2=filled.k2,
         active_submaps=state.active_submaps,
-        last_icp_error=tr.icp_error, last_icp_count=tr.icp_count,
+        last_icp_error=icp_error, last_icp_count=icp_count,
         dense_frac=jnp.mean(filled.from_model.astype(jnp.float32)),
     )
 
@@ -195,6 +209,26 @@ def step_many(state: SLAMState, frames: FrameInput, intr: CameraIntrinsics,
         return s2, s2.t
 
     return jax.lax.scan(body, state, frames)
+
+
+# single-frame replay: the jitted ``step`` already accepts
+# ``fixed_pose`` — step(state, frame, intr, cfg, fixed_pose=pose)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def step_many_replay(state: SLAMState, frames: FrameInput,
+                     poses: jnp.ndarray, intr: CameraIntrinsics,
+                     cfg: SLAMConfig):
+    """Scan-batched trajectory replay: like ``step_many`` but tracking is
+    skipped and per-frame (N,4,4) camera-to-world ``poses`` are used
+    directly (globalInputLoadTrajectory, HRBFFusion.cpp:1105-1108)."""
+
+    def body(s, fp):
+        f, p = fp
+        s2 = step_impl(s, f, intr, cfg, fixed_pose=p)
+        return s2, s2.t
+
+    return jax.lax.scan(body, state, (frames, poses))
 
 
 def ensure_capacity(state: SLAMState, cfg: SLAMConfig,
@@ -222,16 +256,26 @@ def ensure_capacity(state: SLAMState, cfg: SLAMConfig,
 
 
 def run_sequence(frames, intr: CameraIntrinsics, cfg: SLAMConfig,
-                 init_pose=None, grow: bool = True):
+                 init_pose=None, grow: bool = True,
+                 input_trajectory=None):
     """Host-side frame loop (MainController::run equivalent).  ``frames`` is
-    an iterable of FrameInput; returns (final state, poses (N,4,4))."""
+    an iterable of FrameInput; returns (final state, poses (N,4,4)).
+
+    ``input_trajectory``: optional (N,4,4) camera-to-world poses — replay
+    mode: tracking is skipped, fusion/prediction run against the given
+    poses (globalInputLoadTrajectory, HRBFFusion.cpp:57-61,1105-1108)."""
     import numpy as np
 
     state = None
     poses = []
-    for f in frames:
+    for i, f in enumerate(frames):
         if state is None:
-            state = bootstrap(f, intr, cfg, init_pose)
+            p0 = (input_trajectory[0] if input_trajectory is not None
+                  else init_pose)
+            state = bootstrap(f, intr, cfg, p0)
+        elif input_trajectory is not None:
+            state = step(state, f, intr, cfg,
+                         fixed_pose=jnp.asarray(input_trajectory[i]))
         else:
             state = step(state, f, intr, cfg)
         if grow:

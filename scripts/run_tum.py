@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--out", default=".")
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--capacity", type=int, default=1 << 19)
+    ap.add_argument("--load-trajectory", default=None, metavar="TUMFILE",
+                    help="replay mode: skip tracking, take per-frame poses "
+                         "from a TUM-format trajectory "
+                         "(globalInputLoadTrajectory, HRBFFusion.cpp:1105)")
     args = ap.parse_args()
 
     from hrbffusion3d_tpu.utils import tpu_cache
@@ -53,13 +57,23 @@ def main():
         use_global_ba=not args.no_ba,
     )
 
+    replay_poses = None
+    if args.load_trajectory:
+        from hrbffusion3d_tpu.io import traj as trajio
+
+        _, replay_poses = trajio.load_tum(args.load_trajectory)
+        cfg = dataclasses.replace(cfg, use_local_ba=False, use_global_ba=False)
+
     sys_ = FullSLAM(intr, cfg)
     t0 = time.time()
     n = 0
     for fr in tum.frames_prefetched(args.root, start=args.start, end=args.end):
+        fixed = None
+        if replay_poses is not None:
+            fixed = jnp.asarray(replay_poses[min(n, len(replay_poses) - 1)])
         sys_.process(
             slam.FrameInput(depth=jnp.asarray(fr.depth), rgb=jnp.asarray(fr.rgb)),
-            timestamp=fr.timestamp,
+            timestamp=fr.timestamp, fixed_pose=fixed,
         )
         n += 1
         if n % 50 == 0:

@@ -22,6 +22,15 @@ from hrbffusion3d_tpu.map import surfel_map as sm
 from hrbffusion3d_tpu.ops import pallas_kernels, raycast
 from hrbffusion3d_tpu.pipeline import slam
 
+
+
+def _tiny_leaf(out):
+    """Sync target: the SMALLEST leaf. Syncing on tree.leaves(out)[0] pulls
+    state.map.data (48 MB at 512k cap) through the ~30 MB/s tunnel and adds
+    ~1.5 s/call — it inflated every ab3/ab4 absolute number by ~215 ms/frame."""
+    import jax as _jax
+    return min(_jax.tree.leaves(out), key=lambda l: getattr(l, "size", 1))
+
 ROUNDS = int(os.environ.get("AB_ROUNDS", "12"))
 
 intr = TUM1
@@ -67,7 +76,7 @@ DIV = {"step xla+joint": NF, "step best+joint": NF,
 for name, fn in VARIANTS.items():
     t0 = time.perf_counter()
     out = fn()
-    _ = np.asarray(jax.tree.leaves(out)[0])
+    _ = np.asarray(_tiny_leaf(out))
     print(f"compiled {name} ({time.perf_counter()-t0:.0f}s)", flush=True)
 
 best = {n: 1e9 for n in VARIANTS}
@@ -75,7 +84,7 @@ for r in range(ROUNDS):
     for name, fn in VARIANTS.items():
         t0 = time.perf_counter()
         out = fn()
-        _ = np.asarray(jax.tree.leaves(out)[0])
+        _ = np.asarray(_tiny_leaf(out))
         best[name] = min(best[name], (time.perf_counter() - t0) * 1000 / DIV[name])
     print(f"round {r}: " + "  ".join(f"{n}={best[n]:.0f}" for n in best),
           flush=True)
