@@ -108,6 +108,13 @@ class SLAMConfig:
     raycast_coarse_step: float = 0.004      # predict_hrbf.frag:166 (4 mm)
     raycast_coarse_steps: int = 25          # predict_hrbf.frag:163
     raycast_bisection_iters: int = 10       # predict_hrbf.frag:236
+    # geometric ladder: taps at {1,2,3,5,8,13,18,25}*step instead of every
+    # step (same +-25*step range, 4 mm granularity within +-3 steps of the
+    # nearest-neighbor init where the crossing almost always is); 3 extra
+    # bisection iterations recover the precision lost to the wider far
+    # brackets.  8 HRBF ladder evals per direction instead of 25 — the
+    # evals, not HBM traffic, bound the raycast kernel.
+    raycast_geometric_ladder: bool = True
 
     # -- fusion / cleaning (GlobalStateParam.txt:74-77, copy_unstable.vert) --
     fuse_window_multiplier: int = 2         # fusionMergeWindowMultiplier

@@ -194,7 +194,8 @@ def _ring_taps(radius: int):
 
 
 def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
-                    STEPS, STEP, BIS, FX, FY, CX, CY, TAPSTACK=True):
+                    STEPS, STEP, BIS, FX, FY, CX, CY, TAPSTACK=True,
+                    G_OFFS=None):
     """Per-block HRBF raycast with the neighbor window in VMEM.
 
     attr channels (channels-first): 0:3 pos | 3:6 nrm | 6 conf | 7 radius
@@ -317,25 +318,44 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
     zero = jnp.zeros((BH, W), jnp.float32)
     enough_f = enough.astype(jnp.float32)
 
-    def l_cond(carry):
-        i, fnd, _ = carry
-        still = jnp.max(enough_f * (1.0 - fnd))
-        return (i <= STEPS) & (still > 0)
+    if G_OFFS is not None:
+        # geometric ladder (raycast.ladder_offsets): a short STATIC tap
+        # list, unrolled — no while_loop, so one never-bracketing straggler
+        # pixel cannot force the whole (BH, W) block through all 25
+        # iterations.  Bracket = [previous tap, hitting tap] directionally.
+        fnd = zero
+        t_lo = big
+        t_hi = big
+        prev = 0.0
+        for off in G_OFFS:
+            t_i = t0 + sgn * (off * STEP)
+            t_p = t0 + sgn * (prev * STEP)
+            hit = (f_at(t_i) * sgn > 0) & (fnd < 0.5)   # sign flipped vs f0
+            t_lo = jnp.where(hit, jnp.where(go_back, t_i, t_p), t_lo)
+            t_hi = jnp.where(hit, jnp.where(go_back, t_p, t_i), t_hi)
+            fnd = jnp.where(hit, 1.0, fnd)
+            prev = off
+        found = enough & (fnd > 0.5)
+    else:
+        def l_cond(carry):
+            i, fnd, _ = carry
+            still = jnp.max(enough_f * (1.0 - fnd))
+            return (i <= STEPS) & (still > 0)
 
-    def l_body(carry):
-        i, fnd, t_hit = carry
-        t_i = t0 + sgn * (i.astype(jnp.float32) * STEP)
-        fv = f_at(t_i)
-        hit = (fv * sgn > 0) & (fnd < 0.5)    # sign flipped vs f0
-        t_hit = jnp.where(hit, t_i, t_hit)
-        fnd = jnp.where(hit, 1.0, fnd)
-        return i + 1, fnd, t_hit
+        def l_body(carry):
+            i, fnd, t_hit = carry
+            t_i = t0 + sgn * (i.astype(jnp.float32) * STEP)
+            fv = f_at(t_i)
+            hit = (fv * sgn > 0) & (fnd < 0.5)    # sign flipped vs f0
+            t_hit = jnp.where(hit, t_i, t_hit)
+            fnd = jnp.where(hit, 1.0, fnd)
+            return i + 1, fnd, t_hit
 
-    _, fnd, t_hit = jax.lax.while_loop(
-        l_cond, l_body, (jnp.int32(1), zero, big))
-    found = enough & (fnd > 0.5)
-    t_lo = jnp.where(go_back, t_hit, t_hit - STEP)
-    t_hi = jnp.where(go_back, t_hit + STEP, t_hit)
+        _, fnd, t_hit = jax.lax.while_loop(
+            l_cond, l_body, (jnp.int32(1), zero, big))
+        found = enough & (fnd > 0.5)
+        t_lo = jnp.where(go_back, t_hit, t_hit - STEP)
+        t_hi = jnp.where(go_back, t_hit + STEP, t_hit)
 
     # ---- bisection (frag:236-270) ----
     def bis(_, carry):
@@ -400,14 +420,18 @@ def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
     acf = jnp.moveaxis(jnp.pad(attr9, [(R, R), (R, R), (0, 0)]), -1, 0)
     blocks = jnp.stack([_expand_rows(acf[c], BH, R) for c in range(9)], axis=1)
     nb = blocks.shape[0]
+    from .raycast import ladder_offsets
+
+    g_steps, bis_iters = ladder_offsets(cfg)
     kern = functools.partial(
         _raycast_kernel, R=R, W=w, BH=BH,
         K=cfg.predict_max_neighbors, KMIN=cfg.predict_min_neighbors,
         CONF_T=cfg.predict_conf_threshold,
         STEPS=cfg.raycast_coarse_steps, STEP=cfg.raycast_coarse_step,
-        BIS=cfg.raycast_bisection_iters,
+        BIS=bis_iters,
         FX=intr.fx, FY=intr.fy, CX=intr.cx, CY=intr.cy,
-        TAPSTACK=tapstack)
+        TAPSTACK=tapstack,
+        G_OFFS=tuple(g_steps) if cfg.raycast_geometric_ladder else None)
     out = pl.pallas_call(
         kern,
         grid=(nb,),

@@ -31,6 +31,24 @@ from ..map.surfel_map import SurfelMap
 from . import hrbf
 
 
+_GEOMETRIC_LADDER = (1, 2, 3, 5, 8, 13, 18, 25)
+
+
+def ladder_offsets(cfg: SLAMConfig) -> tuple[list[int], int]:
+    """Ladder tap offsets (in units of ``raycast_coarse_step``) and the
+    bisection iteration count.  Uniform: every step out to
+    ``raycast_coarse_steps`` with the reference's 10 bisections
+    (predict_hrbf.frag:163-236).  Geometric: same range and the same 1-step
+    granularity within +-3 steps of the nearest-neighbor init, sparse
+    beyond; +3 bisections recover the precision of the widest (7-step)
+    bracket."""
+    steps = cfg.raycast_coarse_steps
+    if not cfg.raycast_geometric_ladder:
+        return list(range(1, steps + 1)), cfg.raycast_bisection_iters
+    g = [s for s in _GEOMETRIC_LADDER if s < steps] + [steps]
+    return g, cfg.raycast_bisection_iters + 3
+
+
 def _ring_offsets(radius: int):
     """Window offsets sorted by ring (Chebyshev distance), matching the
     frag's ring-by-ring neighbor collection order."""
@@ -133,10 +151,12 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
     proj = jnp.where(sel_ok, proj, 1e6)
     t0 = jnp.min(proj, axis=-1)
 
-    steps = cfg.raycast_coarse_steps
     step = cfg.raycast_coarse_step
-    n_lad = 2 * steps + 1
-    lad = (jnp.arange(n_lad, dtype=jnp.float32) - steps) * step  # (L,)
+    g_steps, bis_iters = ladder_offsets(cfg)
+    G = len(g_steps)
+    g_off = jnp.asarray(g_steps, jnp.float32) * step            # (G,)
+    g_prev = jnp.asarray([0] + g_steps[:-1], jnp.float32) * step
+    lad = jnp.concatenate([-g_off[::-1], jnp.zeros((1,)), g_off])  # (2G+1,)
 
     def block(args):
         (b_ray, b_t0, b_pos, b_nrm, b_rad, b_ok, b_nn) = args
@@ -146,25 +166,27 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
         f, nsupp = hrbf.hrbf_value(
             pts, b_pos[:, None], b_nrm[:, None], b_rad[:, None], b_ok[:, None]
         )                                                   # (C, L)
-        f0 = f[:, steps]
-        supp_ok = nsupp[:, steps] > cfg.predict_min_neighbors
+        f0 = f[:, G]
+        supp_ok = nsupp[:, G] > cfg.predict_min_neighbors
         enough = (b_nn > cfg.predict_min_neighbors) & supp_ok
 
-        # backward branch (f0 > 0): walk j = steps-1 .. 0, first f < 0
-        back = f[:, steps - 1::-1]                          # (C, steps) toward camera
+        # backward branch (f0 > 0): taps at t0 - g_off, nearest first;
+        # first f < 0 at k brackets [t0 - g_off[k], t0 - g_prev[k]]
+        back = f[:, G - 1::-1]                              # (C, G) toward camera
         bneg = back < 0
         bfound = jnp.any(bneg, axis=-1)
         bidx = jnp.argmax(bneg, axis=-1)                    # first True
-        t_lo_b = b_t0 - (bidx + 1) * step
-        t_hi_b = t_lo_b + step
+        t_lo_b = b_t0 - g_off[bidx]
+        t_hi_b = b_t0 - g_prev[bidx]
 
-        # forward branch (f0 < 0): walk j = steps+1 .. end, first f > 0
-        fwd = f[:, steps + 1:]
+        # forward branch (f0 < 0): first f > 0 at k brackets
+        # [t0 + g_prev[k], t0 + g_off[k]]
+        fwd = f[:, G + 1:]
         fpos = fwd > 0
         ffound = jnp.any(fpos, axis=-1)
         fidx = jnp.argmax(fpos, axis=-1)
-        t_hi_f = b_t0 + (fidx + 1) * step
-        t_lo_f = t_hi_f - step
+        t_hi_f = b_t0 + g_off[fidx]
+        t_lo_f = b_t0 + g_prev[fidx]
 
         go_back = f0 > 0
         found = enough & jnp.where(go_back, bfound, ffound)
@@ -181,7 +203,7 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
             hi = jnp.where(fm < 0, hi, mid)
             return lo, hi
 
-        t_lo, t_hi = jax.lax.fori_loop(0, cfg.raycast_bisection_iters, bis, (t_lo, t_hi))
+        t_lo, t_hi = jax.lax.fori_loop(0, bis_iters, bis, (t_lo, t_hi))
         t_surf = 0.5 * (t_lo + t_hi)
         p_surf = t_surf[:, None] * b_ray
         grad = hrbf.hrbf_gradient(p_surf, b_pos, b_nrm, b_rad, b_ok)

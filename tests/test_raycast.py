@@ -37,6 +37,28 @@ def test_predict_matches_depth_same_view():
     assert (err < 0.02).mean() > 0.9
 
 
+def test_geometric_ladder_matches_uniform():
+    """The geometric ladder (sparse far taps + 3 extra bisections) finds
+    the same surface as the reference's uniform 4 mm march: same found set
+    (up to rare grazing pixels) and sub-millimetre vertex agreement."""
+    import dataclasses
+
+    pose = np.eye(4, dtype=np.float32)
+    m, depth, rgb = _map_from_frame(pose)
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    cfg_u = dataclasses.replace(CFG, raycast_geometric_ladder=False)
+    pred_g = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, CFG, chunk=4096)
+    pred_u = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, cfg_u, chunk=4096)
+    fg = np.asarray(pred_g.found)
+    fu = np.asarray(pred_u.found)
+    assert (fg == fu).mean() > 0.995, (fg.mean(), fu.mean())
+    both = fg & fu
+    dv = np.linalg.norm(
+        np.asarray(pred_g.vertex) - np.asarray(pred_u.vertex), axis=-1)[both]
+    assert np.median(dv) < 5e-4, np.median(dv)
+    assert (dv < 0.004).mean() > 0.99, (dv < 0.004).mean()
+
+
 def test_predict_normals_reasonable():
     pose = np.eye(4, dtype=np.float32)
     m, depth, rgb = _map_from_frame(pose)
