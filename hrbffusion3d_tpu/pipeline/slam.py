@@ -257,13 +257,15 @@ def ensure_capacity(state: SLAMState, cfg: SLAMConfig,
 
 def run_sequence(frames, intr: CameraIntrinsics, cfg: SLAMConfig,
                  init_pose=None, grow: bool = True,
-                 input_trajectory=None):
+                 input_trajectory=None, stats=None):
     """Host-side frame loop (MainController::run equivalent).  ``frames`` is
     an iterable of FrameInput; returns (final state, poses (N,4,4)).
 
     ``input_trajectory``: optional (N,4,4) camera-to-world poses — replay
     mode: tracking is skipped, fusion/prediction run against the given
-    poses (globalInputLoadTrajectory, HRBFFusion.cpp:57-61,1105-1108)."""
+    poses (globalInputLoadTrajectory, HRBFFusion.cpp:57-61,1105-1108).
+    ``stats``: optional viz.stats.StatsLogger — per-frame scalar stream
+    (the GUI's live ICP-residual/inlier plots, HRBF_fusion.cpp:284-296)."""
     import numpy as np
 
     state = None
@@ -281,4 +283,6 @@ def run_sequence(frames, intr: CameraIntrinsics, cfg: SLAMConfig,
         if grow:
             state, cfg = ensure_capacity(state, cfg)
         poses.append(np.asarray(lie.rt_to_mat(state.R, state.t)))
+        if stats is not None:
+            stats.log_state(i, state)
     return state, np.stack(poses)

@@ -58,5 +58,25 @@ class Stopwatch:
                         f"min={stats['min_ms']:.3f}ms "
                         f"max={stats['max_ms']:.3f}ms n={stats['count']}\n")
 
+    def broadcast(self, host: str = "127.0.0.1", port: int = 45454,
+                  signature: int = 0):
+        """UDP telemetry packet — the reference Stopwatch streams its timing
+        map to the external Stopviz tool every TOCK (Stopwatch.h:136-144,
+        signature at HRBFFusion.cpp:63).  Same wire idea, modern encoding:
+        one JSON datagram {signature, {name: last_ms}} per call; fires and
+        forgets (no listener required)."""
+        import socket
+
+        last = {n: xs[-1] * 1000.0 for n, xs in self.samples.items() if xs}
+        payload = __import__("json").dumps(
+            {"signature": signature, "timings_ms": last}).encode()
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            s.sendto(payload, (host, port))
+        except OSError:
+            pass  # telemetry must never take the pipeline down
+        finally:
+            s.close()
+
 
 GLOBAL = Stopwatch()

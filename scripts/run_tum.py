@@ -33,6 +33,12 @@ def main():
                     help="replay mode: skip tracking, take per-frame poses "
                          "from a TUM-format trajectory "
                          "(globalInputLoadTrajectory, HRBFFusion.cpp:1105)")
+    ap.add_argument("--stats", action="store_true",
+                    help="write per-frame stats.jsonl + "
+                         "sequence_processing_time.txt to --out")
+    ap.add_argument("--views", type=int, default=0, metavar="N",
+                    help="dump an N-view turntable render of the final map "
+                         "(headless GUI analogue) to --out/views/")
     args = ap.parse_args()
 
     from hrbffusion3d_tpu.utils import tpu_cache
@@ -64,6 +70,16 @@ def main():
         _, replay_poses = trajio.load_tum(args.load_trajectory)
         cfg = dataclasses.replace(cfg, use_local_ba=False, use_global_ba=False)
 
+    os.makedirs(args.out, exist_ok=True)
+    stats = None
+    sw = None
+    if args.stats:
+        from hrbffusion3d_tpu.utils import timing
+        from hrbffusion3d_tpu.viz.stats import StatsLogger
+
+        stats = StatsLogger(os.path.join(args.out, "stats.jsonl"))
+        sw = timing.Stopwatch()
+
     sys_ = FullSLAM(intr, cfg)
     t0 = time.time()
     n = 0
@@ -71,15 +87,25 @@ def main():
         fixed = None
         if replay_poses is not None:
             fixed = jnp.asarray(replay_poses[min(n, len(replay_poses) - 1)])
+        if sw is not None:
+            sw.tick("processFrame")
         sys_.process(
             slam.FrameInput(depth=jnp.asarray(fr.depth), rgb=jnp.asarray(fr.rgb)),
             timestamp=fr.timestamp, fixed_pose=fixed,
         )
+        if sw is not None:
+            sw.tock("processFrame")
+            sw.broadcast()  # Stopviz-style UDP telemetry (Stopwatch.h:136)
+        if stats is not None:
+            stats.log_state(n, sys_.state)
         n += 1
         if n % 50 == 0:
             print(f"frame {n}  {n / (time.time() - t0):.2f} fps", flush=True)
 
-    os.makedirs(args.out, exist_ok=True)
+    if stats is not None:
+        stats.close()
+    if sw is not None:
+        sw.dump(os.path.join(args.out, "sequence_processing_time.txt"))
     sys_.save_trajectory_tum(os.path.join(args.out, "hrbf_trajectory.freiburg"))
     n_pts = sys_.save_map_ply(os.path.join(args.out, "hrbf_globalModel.ply"))
     kts, kposes = sys_.backend.keyframe_trajectory()
@@ -90,6 +116,14 @@ def main():
     print(f"{n} frames, map {n_pts} surfels, "
           f"{len(sys_.backend.keyframes)} keyframes, "
           f"{len(sys_.loop_closures)} loop closures")
+
+    if args.views:
+        from hrbffusion3d_tpu.viz import viewer
+
+        paths = viewer.turntable(sys_.state.map, intr,
+                                 os.path.join(args.out, "views"),
+                                 n_views=args.views)
+        print(f"wrote {len(paths)} turntable views to {args.out}/views/")
 
     gt_path = os.path.join(args.root, "groundtruth.txt")
     if os.path.exists(gt_path):
