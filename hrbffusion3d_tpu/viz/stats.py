@@ -43,3 +43,30 @@ class StatsLogger:
         if self._f:
             self._f.close()
             self._f = None
+
+    def dump_reference_artifacts(self, out_dir: str):
+        """The reference's per-frame debug dumps (HRBFFusion.cpp:152-187):
+        ``mean_error_pose.txt`` (per-frame mean ICP error) and
+        ``inliers_num.txt`` (per-frame inlier counts), one value per line."""
+        import os
+
+        with open(os.path.join(out_dir, "mean_error_pose.txt"), "w") as f:
+            for r in self.rows:
+                f.write(f"{r['frame']} {r['icp_error']:.6f}\n")
+        with open(os.path.join(out_dir, "inliers_num.txt"), "w") as f:
+            for r in self.rows:
+                f.write(f"{r['frame']} {r['icp_count']}\n")
+
+
+def dump_prediction_textures(state, out_dir: str, frame: int | None = None):
+    """IndexMap::downloadTexture analogue (IndexMap.cpp:590-729): write the
+    predicted vertex/normal/intensity/weight/curvature maps as .npy files
+    for offline inspection."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    tag = f"_{frame:05d}" if frame is not None else ""
+    for name in ("pred_vertex", "pred_normal", "pred_intensity",
+                 "pred_icp_weight", "pred_k1", "pred_k2"):
+        np.save(os.path.join(out_dir, f"{name}{tag}.npy"),
+                np.asarray(getattr(state, name)))

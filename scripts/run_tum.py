@@ -104,6 +104,7 @@ def main():
 
     if stats is not None:
         stats.close()
+        stats.dump_reference_artifacts(args.out)
     if sw is not None:
         sw.dump(os.path.join(args.out, "sequence_processing_time.txt"))
     sys_.save_trajectory_tum(os.path.join(args.out, "hrbf_trajectory.freiburg"))

@@ -91,3 +91,33 @@ def test_stopwatch_udp_broadcast():
     rx.close()
     assert payload["signature"] == 42
     assert "stage" in payload["timings_ms"]
+
+
+def test_reference_artifacts_and_prediction_dump(tmp_path):
+    class FakeMap:
+        count = jnp.int32(7)
+
+    class FakeState:
+        last_icp_error = jnp.float32(0.25)
+        last_icp_count = jnp.int32(1234)
+        dense_frac = jnp.float32(0.9)
+        map = FakeMap()
+        t = jnp.zeros(3)
+        pred_vertex = jnp.zeros((4, 4, 3))
+        pred_normal = jnp.zeros((4, 4, 3))
+        pred_intensity = jnp.zeros((4, 4))
+        pred_icp_weight = jnp.zeros((4, 4))
+        pred_k1 = jnp.zeros((4, 4))
+        pred_k2 = jnp.zeros((4, 4))
+
+    lg = StatsLogger()
+    lg.log_state(0, FakeState())
+    lg.dump_reference_artifacts(str(tmp_path))
+    assert open(tmp_path / "mean_error_pose.txt").read() == "0 0.250000\n"
+    assert open(tmp_path / "inliers_num.txt").read() == "0 1234\n"
+
+    from hrbffusion3d_tpu.viz.stats import dump_prediction_textures
+
+    dump_prediction_textures(FakeState(), str(tmp_path / "pred"), frame=3)
+    arr = np.load(tmp_path / "pred" / "pred_vertex_00003.npy")
+    assert arr.shape == (4, 4, 3)
