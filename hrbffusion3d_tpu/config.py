@@ -159,6 +159,10 @@ class SLAMConfig:
     # the surfel array only every N-th frame (tombstones in between); the
     # compaction is a full-capacity sort + row gather
     clean_compact_period: int = 1
+    # fuse's checkerboard-quarter views as row gathers at the quarter's
+    # flat pixel ids instead of stride-2 slices (slices on T(8,128)-tiled
+    # tensors pay a layout shuffle per array)
+    fuse_gather_quarter: bool = True
 
 
 DEFAULT_CONFIG = SLAMConfig()

@@ -348,20 +348,37 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     # --- the time-staggered checkerboard (data.vert:113) selects the
     # quarter of pixels with x%2 == y%2 == time%2; ALL per-pixel work below
     # runs on that quarter (4x less association/pack/scatter than full-res).
-    # The parity is traced, so each array is sliced at both parities and
-    # selected — two strided quarter copies instead of full-size math. ---
-    def quarter(img):
-        return jnp.where(par == 0, img[0::2, 0::2], img[1::2, 1::2])
-
-    meas_q = jax.tree.map(quarter, meas)
-    ok_pix = _measurement_valid(meas_q, cfg).reshape(P)
-
-    v_local = meas_q.vertex.reshape(P, 3)
-    n_local = meas_q.normal.reshape(P, 3)
-
+    # The parity is traced; two quarter-view formulations (cfg-gated):
+    #   gather: ROW GATHERS at the quarter's flat pixel ids
+    #   slice:  stride-2 slices at both parities + select (a slice on a
+    #           T(8,128)-tiled tensor pays a layout shuffle per array) ---
     yyq, xxq = camera.pixel_grid(h // 2, w // 2)
     gx = 2.0 * xxq + par.astype(jnp.float32)   # global pixel coords
     gy = 2.0 * yyq + par.astype(jnp.float32)
+
+    if cfg.fuse_gather_quarter:
+        qpix = (gy.astype(jnp.int32) * w + gx.astype(jnp.int32)).reshape(P)
+
+        def qsel(img):      # (h, w, *ch) -> (P, *ch) quarter view
+            return img.reshape((h * w,) + img.shape[2:])[qpix]
+
+        ok_pix = qsel(_measurement_valid(meas, cfg))
+        v_local = qsel(meas.vertex)
+        n_local = qsel(meas.normal)
+        new_rows = _pack_frame(meas, pose, submap_idx, time)[qpix]  # (P,24)
+    else:
+        def quarter(img):
+            return jnp.where(par == 0, img[0::2, 0::2], img[1::2, 1::2])
+
+        def qsel(img):      # (h, w, *ch) -> (P, *ch) quarter view
+            return quarter(img).reshape((P,) + img.shape[2:])
+
+        meas_q = jax.tree.map(quarter, meas)
+        ok_pix = _measurement_valid(meas_q, cfg).reshape(P)
+        v_local = meas_q.vertex.reshape(P, 3)
+        n_local = meas_q.normal.reshape(P, 3)
+        new_rows = _pack_frame(meas_q, pose, submap_idx, time)     # (P,24)
+
     xl = (gx.reshape(P) - intr.cx) / intr.fx
     yl = (gy.reshape(P) - intr.cy) / intr.fy
     lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
@@ -374,8 +391,8 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
 
     pose_inv = jnp.eye(4).at[:3, :3].set(pose_inv_R).at[:3, 3].set(pose_inv_t)
     attr = render_attr_image(m, index_map, pose_inv)
-    patch = quarter(extract_patches(attr, 1)).reshape(P, 9, ATTR_CHANNELS)
-    cand = quarter(extract_patches(index_map, 1, fill=-1)).reshape(P, 9)
+    patch = qsel(extract_patches(attr, 1)).reshape(P, 9, ATTR_CHANNELS)
+    cand = qsel(extract_patches(index_map, 1, fill=-1)).reshape(P, 9)
     has = (cand >= 0) & (patch[..., A_VALID] > 0.5)
     cpos = patch[..., A_POS]                               # (P,9,3) camera
     cnrm = patch[..., A_NRM]
@@ -407,7 +424,6 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     # --- merge (update.vert:62-104), formulated surfel-side: each surfel
     # with a winning pixel GATHERS that pixel's measurement row and blends
     # in place (row scatters are ~70x slower than row gathers on TPU) ---
-    new_rows = _pack_frame(meas_q, pose, submap_idx, time)
     wtbl = winner_tbl[:n_cap]
     has_winner = wtbl != jnp.iinfo(jnp.int32).max
     wpix = jnp.clip(wtbl, 0, P - 1)
@@ -446,9 +462,9 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     m = _append(m, new_rows, new_mask, block_size=S)
 
     # z-test the new surfels against the existing render at their pixel
-    idx_q = quarter(index_map).reshape(P)
+    idx_q = qsel(index_map)
     exist = idx_q >= 0
-    exist_z = quarter(attr[:, :, 2]).reshape(P)   # A_POS z channel
+    exist_z = qsel(attr[:, :, 2])                  # A_POS z channel
     new_z = v_local[:, 2]
     wins = appended & (~exist | (new_z < exist_z))
     upd = jnp.where(wins, new_id, idx_q).reshape(h // 2, w // 2)

@@ -218,3 +218,20 @@ def test_clean_compact_period():
     assert int(s2.map.count) >= live2
     assert not v2[int(s2.map.count):].any()
     np.testing.assert_allclose(np.asarray(s2.t), np.asarray(s1.t), atol=2e-3)
+
+
+def test_fuse_gather_quarter_matches_slice():
+    # the two quarter-view formulations (row gather vs stride-2 slice)
+    # must be bit-identical for both checkerboard parities
+    meas, _ = _measure(np.eye(4, dtype=np.float32))
+    pose = jnp.eye(4)
+    m = sm.initialise(CFG.map_capacity, meas, pose, CFG, time=1)
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    cfg_g = dataclasses.replace(CFG, fuse_gather_quarter=True)
+    cfg_s = dataclasses.replace(CFG, fuse_gather_quarter=False)
+    for t in (1, 2):
+        mg, ig = sm.fuse(m, meas, pose, idx, INTR, cfg_g, time=t, submap_idx=0)
+        ms, is_ = sm.fuse(m, meas, pose, idx, INTR, cfg_s, time=t, submap_idx=0)
+        np.testing.assert_array_equal(np.asarray(mg.data), np.asarray(ms.data))
+        assert int(mg.count) == int(ms.count)
+        np.testing.assert_array_equal(np.asarray(ig), np.asarray(is_))
