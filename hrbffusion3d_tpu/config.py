@@ -163,6 +163,10 @@ class SLAMConfig:
     # flat pixel ids instead of stride-2 slices (slices on T(8,128)-tiled
     # tensors pay a layout shuffle per array)
     fuse_gather_quarter: bool = True
+    # pyramid downsamplers decimate via flat gathers / reduce_window pools
+    # instead of stride-2 slices (same layout-shuffle tax; ~41 slices per
+    # frame across the 14 tracking pyramids)
+    pyramid_gather_decimate: bool = True
 
 
 DEFAULT_CONFIG = SLAMConfig()

@@ -10,12 +10,34 @@ TPU-native equivalents of the CUDA kernels in ``Core/src/Cuda/cudafuncs.cu``:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .patches import extract_patches
 
 
-def pyr_down_depth(src: jnp.ndarray, sigma_color: float = 0.03) -> jnp.ndarray:
+def _decimate2(x: jnp.ndarray) -> jnp.ndarray:
+    """Even-row/col 2x decimation as a flat row gather.  A stride-2 slice
+    on a T(8,128)-tiled tensor pays a layout shuffle per array (~1 ms at
+    640x480); the same data as a gather at computed flat indices is ~8x
+    cheaper (measured in fuse, NOTES_R1 fourth session)."""
+    h, w = x.shape[:2]
+    idx = ((jnp.arange(h // 2, dtype=jnp.int32) * 2)[:, None] * w
+           + jnp.arange(w // 2, dtype=jnp.int32) * 2).reshape(-1)
+    flat = x.reshape((h * w,) + x.shape[2:])
+    return flat[idx].reshape((h // 2, w // 2) + x.shape[2:])
+
+
+def _pool2_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2-stride-2 window sum via reduce_window (pure streaming — no
+    strided slices, no gathers)."""
+    dims = (2, 2) + (1,) * (x.ndim - 2)
+    return jax.lax.reduce_window(x, jnp.zeros((), x.dtype), jax.lax.add,
+                                 dims, dims, "VALID")
+
+
+def pyr_down_depth(src: jnp.ndarray, sigma_color: float = 0.03,
+                   gather: bool = True) -> jnp.ndarray:
     """2x depth downsample with 5x5 binomial weights {0.375,0.25,0.0625}
     per |offset| axis, rejecting neighbors deviating > 3*sigma_color from
     the center (cudafuncs.cu:57-94).  Invalid depths are 0 here (not NaN)."""
@@ -29,10 +51,10 @@ def pyr_down_depth(src: jnp.ndarray, sigma_color: float = 0.03) -> jnp.ndarray:
     num = jnp.sum(patches * wv, axis=-1)
     den = jnp.sum(wv, axis=-1)
     out = jnp.where((den > 0) & (center > 0), num / jnp.maximum(den, 1e-12), 0.0)
-    return out[::2, ::2]
+    return _decimate2(out) if gather else out[::2, ::2]
 
 
-def pyr_down_intensity(src: jnp.ndarray) -> jnp.ndarray:
+def pyr_down_intensity(src: jnp.ndarray, gather: bool = True) -> jnp.ndarray:
     """2x intensity downsample with the [1,4,6,4,1] Gaussian
     (cudafuncs.cu:818-866)."""
     patches = extract_patches(src, 2)
@@ -41,35 +63,44 @@ def pyr_down_intensity(src: jnp.ndarray) -> jnp.ndarray:
     inb = extract_patches(jnp.ones_like(src), 2)
     wv = wts * inb
     out = jnp.sum(patches * wv, axis=-1) / jnp.maximum(jnp.sum(wv, axis=-1), 1e-12)
-    return out[::2, ::2]
+    return _decimate2(out) if gather else out[::2, ::2]
 
 
-def resize_map(src: jnp.ndarray, normalize: bool = False) -> jnp.ndarray:
+def resize_map(src: jnp.ndarray, normalize: bool = False,
+               gather: bool = True) -> jnp.ndarray:
     """Half-resolution 2x2 block average of an (H, W, C) map
     (cudafuncs.cu:527-607).  A block is invalid (all-zero) if any of its four
     first-channel entries is invalid (the reference propagates NaN; we use
     z==0 / len==0 as the invalid marker)."""
-    x00 = src[0::2, 0::2]
-    x01 = src[0::2, 1::2]
-    x10 = src[1::2, 0::2]
-    x11 = src[1::2, 1::2]
-    avg = (x00 + x01 + x10 + x11) * 0.25
     if normalize:
-        n = jnp.linalg.norm(avg[..., :3], axis=-1, keepdims=True)
-        avg = avg.at[..., :3].set(avg[..., :3] / jnp.maximum(n, 1e-12))
         def _valid(v):
             return jnp.linalg.norm(v[..., :3], axis=-1) > 1e-6
     else:
         def _valid(v):
             return v[..., 2] > 0
-    ok = _valid(x00) & _valid(x01) & _valid(x10) & _valid(x11)
+    if gather:
+        # streaming window sums: no strided slices
+        avg = _pool2_sum(src) * 0.25
+        ok = _pool2_sum(_valid(src).astype(src.dtype)) > 3.5
+    else:
+        x00 = src[0::2, 0::2]
+        x01 = src[0::2, 1::2]
+        x10 = src[1::2, 0::2]
+        x11 = src[1::2, 1::2]
+        avg = (x00 + x01 + x10 + x11) * 0.25
+        ok = _valid(x00) & _valid(x01) & _valid(x10) & _valid(x11)
+    if normalize:
+        n = jnp.linalg.norm(avg[..., :3], axis=-1, keepdims=True)
+        avg = avg.at[..., :3].set(avg[..., :3] / jnp.maximum(n, 1e-12))
     return jnp.where(ok[..., None], avg, 0.0)
 
 
-def resize_scalar_map(src: jnp.ndarray) -> jnp.ndarray:
+def resize_scalar_map(src: jnp.ndarray, gather: bool = True) -> jnp.ndarray:
     """2x2 average for scalar per-pixel maps (curvature k1/k2, icp weight) —
     resizeCMapKernel equivalent.  Invalid marker is exactly-1000/0 handled by
     callers; this is a plain average."""
+    if gather:
+        return _pool2_sum(src) * 0.25
     return 0.25 * (src[0::2, 0::2] + src[0::2, 1::2] + src[1::2, 0::2] + src[1::2, 1::2])
 
 

@@ -86,22 +86,28 @@ def build_inputs(
     nmap_g = jnp.where(pred_valid[..., None], nmap_g, 0.0)
     pred_depth = jnp.where(pred_valid, pred_vmap[..., 2], 0.0)
 
+    g = cfg.pyramid_gather_decimate
+    down_depth = lambda m: pyr_ops.pyr_down_depth(m, gather=g)
+    down_int = lambda m: pyr_ops.pyr_down_intensity(m, gather=g)
+    down_map = lambda m: pyr_ops.resize_map(m, gather=g)
+    down_nmap = lambda m: pyr_ops.resize_map(m, normalize=True, gather=g)
+    down_scalar = lambda m: pyr_ops.resize_scalar_map(m, gather=g)
     return TrackingInputs(
-        next_depth=build_pyramid_scalar(next_depth, L, pyr_ops.pyr_down_depth),
-        next_intensity=build_pyramid_scalar(next_intensity, L, pyr_ops.pyr_down_intensity),
-        next_vmap=build_pyramid_scalar(next_vmap, L, lambda m: pyr_ops.resize_map(m)),
-        next_nmap=build_pyramid_scalar(next_nmap, L, lambda m: pyr_ops.resize_map(m, normalize=True)),
-        last_depth=build_pyramid_scalar(pred_depth, L, pyr_ops.pyr_down_depth),
-        last_intensity=build_pyramid_scalar(pred_intensity, L, pyr_ops.pyr_down_intensity),
-        last_vmap_g=build_pyramid_scalar(vmap_g, L, lambda m: pyr_ops.resize_map(m)),
-        last_nmap_g=build_pyramid_scalar(nmap_g, L, lambda m: pyr_ops.resize_map(m, normalize=True)),
-        icp_weight=build_pyramid_scalar(icp_weight, L, pyr_ops.resize_scalar_map),
-        prev_intensity=build_pyramid_scalar(prev_intensity, L, pyr_ops.pyr_down_intensity),
+        next_depth=build_pyramid_scalar(next_depth, L, down_depth),
+        next_intensity=build_pyramid_scalar(next_intensity, L, down_int),
+        next_vmap=build_pyramid_scalar(next_vmap, L, down_map),
+        next_nmap=build_pyramid_scalar(next_nmap, L, down_nmap),
+        last_depth=build_pyramid_scalar(pred_depth, L, down_depth),
+        last_intensity=build_pyramid_scalar(pred_intensity, L, down_int),
+        last_vmap_g=build_pyramid_scalar(vmap_g, L, down_map),
+        last_nmap_g=build_pyramid_scalar(nmap_g, L, down_nmap),
+        icp_weight=build_pyramid_scalar(icp_weight, L, down_scalar),
+        prev_intensity=build_pyramid_scalar(prev_intensity, L, down_int),
         **({
-            "next_k1": build_pyramid_scalar(next_k1, L, pyr_ops.resize_scalar_map),
-            "next_k2": build_pyramid_scalar(next_k2, L, pyr_ops.resize_scalar_map),
-            "last_k1": build_pyramid_scalar(pred_k1, L, pyr_ops.resize_scalar_map),
-            "last_k2": build_pyramid_scalar(pred_k2, L, pyr_ops.resize_scalar_map),
+            "next_k1": build_pyramid_scalar(next_k1, L, down_scalar),
+            "next_k2": build_pyramid_scalar(next_k2, L, down_scalar),
+            "last_k1": build_pyramid_scalar(pred_k1, L, down_scalar),
+            "last_k2": build_pyramid_scalar(pred_k2, L, down_scalar),
         } if (cfg.icp_use_correspondence_search and next_k1 is not None) else {}),
     )
 

@@ -248,3 +248,30 @@ def test_joint_fast_path_matches_separate():
                                   icp_search_radius=0)
     est_sep, _ = _track_pair(pose0, pose1, cfg=cfg_sep)
     np.testing.assert_allclose(est_joint[:3, 3], est_sep[:3, 3], atol=3e-3)
+
+
+def test_pyramid_gather_matches_slice():
+    # gather/pool decimation must match the stride-2 slice formulation
+    rng = np.random.RandomState(0)
+    d = jnp.asarray(np.abs(rng.randn(48, 64)).astype(np.float32)) + 0.5
+    v = jnp.asarray(rng.randn(48, 64, 3).astype(np.float32))
+    v = v.at[..., 2].set(jnp.abs(v[..., 2]))          # valid z > 0
+    v = v.at[5:9, 7:11, 2].set(0.0)                   # an invalid patch
+    s = jnp.asarray(rng.randn(48, 64).astype(np.float32))
+
+    np.testing.assert_allclose(
+        pyramid.pyr_down_depth(d, gather=True),
+        pyramid.pyr_down_depth(d, gather=False), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        pyramid.pyr_down_intensity(d, gather=True),
+        pyramid.pyr_down_intensity(d, gather=False), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        pyramid.resize_map(v, gather=True),
+        pyramid.resize_map(v, gather=False), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        pyramid.resize_map(v, normalize=True, gather=True),
+        pyramid.resize_map(v, normalize=True, gather=False),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        pyramid.resize_scalar_map(s, gather=True),
+        pyramid.resize_scalar_map(s, gather=False), rtol=1e-6, atol=1e-6)
