@@ -167,6 +167,12 @@ class SLAMConfig:
     # instead of stride-2 slices (same layout-shuffle tax; ~41 slices per
     # frame across the 14 tracking pyramids)
     pyramid_gather_decimate: bool = True
+    # run the HRBF implicit-surface raycast (predictHRBF) every N-th frame
+    # and the cheap surfel-splat prediction (combinedPredict,
+    # IndexMap.cpp:359-412) in between.  1 = reference parity (HRBF every
+    # frame); >1 trades prediction smoothness for speed (the raycast is the
+    # single most expensive stage)
+    raycast_period: int = 1
 
 
 DEFAULT_CONFIG = SLAMConfig()

@@ -173,7 +173,19 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
     # third full z-buffer render (IndexMap::predictIndices); fresh unstable
     # surfels are below the prediction confidence threshold either way
     idx3 = sm.remap_index_map(idx2, remap)
-    pred = raycast.predict_hrbf(m, pose_inv, idx3, intr, cfg, chunk=cfg.raycast_chunk)
+    if cfg.raycast_period > 1:
+        # HRBF raycast every N-th frame, surfel-splat prediction in between
+        # (combinedPredict alternative path); lax.cond runs only the taken
+        # branch, so the off-frames skip the raycast kernel entirely
+        pred = jax.lax.cond(
+            time % cfg.raycast_period == 0,
+            lambda: raycast.predict_hrbf(m, pose_inv, idx3, intr, cfg,
+                                         chunk=cfg.raycast_chunk),
+            lambda: raycast.predict_splat(m, pose_inv, idx3, intr, cfg),
+        )
+    else:
+        pred = raycast.predict_hrbf(m, pose_inv, idx3, intr, cfg,
+                                    chunk=cfg.raycast_chunk)
     filled = raycast.fill_in(
         pred, pre.vertex_filtered, pre.normal, pre.radius, frame.rgb,
         conf, curv.k1, curv.k2, cfg,

@@ -34,7 +34,12 @@ VARIANTS = {
     "window2": {"predict_window_multiplier": 2},
     "window2+bisect6": {"predict_window_multiplier": 2,
                         "raycast_bisection_iters": 6},
+    "rayperiod2": {"raycast_period": 2},
+    "rayperiod4": {"raycast_period": 4},
 }
+if os.environ.get("ATE_VARIANTS"):
+    keep = os.environ["ATE_VARIANTS"].split(",")
+    VARIANTS = {k: v for k, v in VARIANTS.items() if k in keep or k == "default"}
 
 
 def run(cfg):

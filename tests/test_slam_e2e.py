@@ -80,3 +80,17 @@ def test_step_many_matches_sequential():
     np.testing.assert_allclose(np.asarray(scanned.R), np.asarray(seq.R), atol=1e-5)
     assert int(scanned.map.count) == int(seq.map.count)
     assert ts.shape == (n - 1, 3)
+
+
+def test_raycast_period_tracks():
+    # HRBF raycast every 2nd frame, splat prediction in between
+    # (raycast_period; combinedPredict alternative path on off-frames)
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, raycast_period=2)
+    n = 8
+    gt = synth.orbit_trajectory(n, angle_per_frame=0.01)
+    state, est = slam.run_sequence(_frames(gt), INTR, cfg, init_pose=gt[0])
+    err = ate.ate_rmse(est, gt, align=False)
+    assert err < 0.03, err
+    assert float(state.dense_frac) > 0.5
