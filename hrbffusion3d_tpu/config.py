@@ -167,6 +167,12 @@ class SLAMConfig:
     # instead of stride-2 slices (same layout-shuffle tax; ~41 slices per
     # frame across the 14 tracking pyramids)
     pyramid_gather_decimate: bool = True
+    # Gauss-Newton early exit: stop a pyramid level's iterations once the
+    # SE(3) increment norm drops below this (GN contracts quadratically, so
+    # the reference's fixed {10,5,4} budgets mostly run converged no-op
+    # iterations at the finest level — each costs a full-image
+    # correspondence gather).  0 = fixed budgets (exact reference parity)
+    tracking_converge_eps: float = 1e-7
     # run the HRBF implicit-surface raycast (predictHRBF) every N-th frame
     # and the cheap surfel-splat prediction (combinedPredict,
     # IndexMap.cpp:359-412) in between.  1 = reference parity (HRBF every

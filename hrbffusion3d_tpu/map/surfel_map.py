@@ -356,16 +356,38 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     gx = 2.0 * xxq + par.astype(jnp.float32)   # global pixel coords
     gy = 2.0 * yyq + par.astype(jnp.float32)
 
+    from ..ops.patches import extract_patches
+
+    pose_inv = jnp.eye(4).at[:3, :3].set(pose_inv_R).at[:3, 3].set(pose_inv_t)
+    attr = render_attr_image(m, index_map, pose_inv)
+
     if cfg.fuse_gather_quarter:
         qpix = (gy.astype(jnp.int32) * w + gx.astype(jnp.int32)).reshape(P)
 
-        def qsel(img):      # (h, w, *ch) -> (P, *ch) quarter view
-            return img.reshape((h * w,) + img.shape[2:])[qpix]
-
-        ok_pix = qsel(_measurement_valid(meas, cfg))
-        v_local = qsel(meas.vertex)
-        n_local = qsel(meas.normal)
-        new_rows = _pack_frame(meas, pose, submap_idx, time)[qpix]  # (P,24)
+        # ONE joint row gather for every per-pixel input (row gathers cost
+        # per ROW, ~free per channel — same trick as tracking's
+        # joint_step): [valid | vertex | normal | packed measurement row |
+        # 3x3 attr patches | 3x3 candidate ids] = 148 ch.  Ids ride as
+        # f32 VALUES (exact to 2^24; NOT a bitcast — small ints bitcast to
+        # f32 are denormal/NaN patterns, and GSPMD's masked-sum lowering of
+        # a sharded gather canonicalizes NaN payloads, corrupting them).
+        assert m.data.shape[0] <= (1 << 24), "id-as-f32 exactness limit"
+        tbl = jnp.concatenate([
+            _measurement_valid(meas, cfg)[..., None].astype(jnp.float32),
+            meas.vertex, meas.normal,
+            _pack_frame(meas, pose, submap_idx, time).reshape(h, w, 24),
+            extract_patches(attr, 1).reshape(h, w, 9 * ATTR_CHANNELS),
+            extract_patches(index_map, 1, fill=-1).astype(jnp.float32),
+        ], axis=-1).reshape(h * w, 31 + 9 * ATTR_CHANNELS + 9)
+        rows_q = tbl[qpix]                                   # (P, 148)
+        ok_pix = rows_q[:, 0] > 0.5
+        v_local = rows_q[:, 1:4]
+        n_local = rows_q[:, 4:7]
+        new_rows = rows_q[:, 7:31]                           # (P, 24)
+        patch = rows_q[:, 31:31 + 9 * ATTR_CHANNELS].reshape(
+            P, 9, ATTR_CHANNELS)
+        cand = jnp.round(
+            rows_q[:, 31 + 9 * ATTR_CHANNELS:]).astype(jnp.int32)  # (P, 9)
     else:
         def quarter(img):
             return jnp.where(par == 0, img[0::2, 0::2], img[1::2, 1::2])
@@ -378,6 +400,9 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
         v_local = meas_q.vertex.reshape(P, 3)
         n_local = meas_q.normal.reshape(P, 3)
         new_rows = _pack_frame(meas_q, pose, submap_idx, time)     # (P,24)
+        # association inputs (the GL data.vert texture fetches), quartered
+        patch = qsel(extract_patches(attr, 1)).reshape(P, 9, ATTR_CHANNELS)
+        cand = qsel(extract_patches(index_map, 1, fill=-1)).reshape(P, 9)
 
     xl = (gx.reshape(P) - intr.cx) / intr.fx
     yl = (gy.reshape(P) - intr.cy) / intr.fy
@@ -385,14 +410,7 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     ray = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
     ray_len = jnp.linalg.norm(ray, axis=-1)
 
-    # --- association over a 3x3 window: one attr-image render, then pure
-    # streaming patch extraction (the GL data.vert texture fetches) ---
-    from ..ops.patches import extract_patches
-
-    pose_inv = jnp.eye(4).at[:3, :3].set(pose_inv_R).at[:3, 3].set(pose_inv_t)
-    attr = render_attr_image(m, index_map, pose_inv)
-    patch = qsel(extract_patches(attr, 1)).reshape(P, 9, ATTR_CHANNELS)
-    cand = qsel(extract_patches(index_map, 1, fill=-1)).reshape(P, 9)
+    # --- association over the 3x3 window of the attr-image render ---
     has = (cand >= 0) & (patch[..., A_VALID] > 0.5)
     cpos = patch[..., A_POS]                               # (P,9,3) camera
     cnrm = patch[..., A_NRM]
@@ -461,10 +479,12 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     appended = new_mask & (rank < S)
     m = _append(m, new_rows, new_mask, block_size=S)
 
-    # z-test the new surfels against the existing render at their pixel
-    idx_q = qsel(index_map)
+    # z-test the new surfels against the existing render at their pixel:
+    # the 3x3 patches' CENTER tap (index 4) is exactly this pixel's render,
+    # so no extra gathers are needed
+    idx_q = cand[:, 4]
     exist = idx_q >= 0
-    exist_z = qsel(attr[:, :, 2])                  # A_POS z channel
+    exist_z = patch[:, 4, 2]                       # A_POS z channel
     new_z = v_local[:, 2]
     wins = appended & (~exist | (new_z < exist_z))
     upd = jnp.where(wins, new_id, idx_q).reshape(h // 2, w // 2)

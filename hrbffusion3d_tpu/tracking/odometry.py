@@ -165,6 +165,33 @@ def _so3_prealign(inp: TrackingInputs, intr: CameraIntrinsics, cfg: SLAMConfig):
     return jnp.where(done, best_R, R_lr)
 
 
+def _gn_loop(body, n_iters: int, carry, eps: float):
+    """Run ``body`` (carry -> (carry, |dx|)) up to ``n_iters`` times.
+
+    With ``eps > 0`` the loop exits early once the SE(3) increment norm
+    drops below eps (GN contracts quadratically near the solution, so the
+    reference's fixed budgets — {10,5,4}, RGBDOdometry.cpp:916-918 — mostly
+    run converged no-op iterations at the finest level; each one costs a
+    full-image correspondence gather on TPU).  eps=0 reproduces the fixed
+    iteration count exactly."""
+    if eps <= 0.0:
+        return jax.lax.fori_loop(
+            0, n_iters, lambda i, c: body(i, c)[0], carry)
+
+    def wcond(s):
+        i, dx, _ = s
+        return (i < n_iters) & (dx > eps)
+
+    def wbody(s):
+        i, _, c = s
+        c2, dx = body(i, c)
+        return (i + 1, dx, c2)
+
+    _, _, out = jax.lax.while_loop(
+        wcond, wbody, (jnp.int32(0), jnp.float32(1e9), carry))
+    return out
+
+
 def track(
     prev_R: jnp.ndarray, prev_t: jnp.ndarray,
     inp: TrackingInputs,
@@ -306,6 +333,7 @@ def track(
             inc = inc.at[:3, 3].set(x[:3])
             result_rt = inc @ result_rt
 
+            dx = jnp.linalg.norm(x)
             if use_sparse:
                 # ADMM dual update with the post-solve pose
                 # (RGBDOdometry.cpp:1209-1224 -> updateLambdaMapKernel)
@@ -314,18 +342,19 @@ def track(
                     lam, extras, cur2[:3, :3], cur2[:3, 3],
                     prev_R_inv, prev_t, inp.next_vmap[lvl],
                     cfg.sparse_icp_mu)
-                return (result_rt, A, b, st, lam)
-            return (result_rt, A, b, st)
+                return (result_rt, A, b, st, lam), dx
+            return (result_rt, A, b, st), dx
 
         if use_sparse:
             # lambdaMap zeroed per level (RGBDOdometry.cpp:965-978)
             lam0 = jnp.zeros((li.height * li.width, 3), jnp.float32)
             carry = (result_rt, lastA, lastb, stats, lam0)
-            carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
-            result_rt, lastA, lastb, stats, _ = carry
         else:
             carry = (result_rt, lastA, lastb, stats)
-            carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
+        carry = _gn_loop(body, iters[lvl], carry, cfg.tracking_converge_eps)
+        if use_sparse:
+            result_rt, lastA, lastb, stats, _ = carry
+        else:
             result_rt, lastA, lastb, stats = carry
 
     cur = lie.rt_to_mat(prev_R, prev_t) @ lie.se3_inverse(result_rt)

@@ -33,7 +33,8 @@ from hrbffusion3d_tpu.pipeline import slam
 from hrbffusion3d_tpu.tracking import odometry
 
 intr = TUM1
-cfg = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2)
+cfg = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2,
+                 use_pallas_raycast=True, clean_compact_period=4)
 
 scene = synth.default_room()
 poses = synth.orbit_trajectory(8, angle_per_frame=0.004)
@@ -140,25 +141,40 @@ VARIANTS = [
 ]
 
 results = {}
+fns = {}
 for name, stages in VARIANTS:
     fn = make_step(stages)
     t0 = time.perf_counter()
     out_state, _ = fn(state0, batch)
     _ = np.asarray(out_state.t)
-    compile_s = time.perf_counter() - t0
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out_state, _ = fn(state0, batch)
-        _ = np.asarray(out_state.t)
-        ts.append(time.perf_counter() - t0)
-    per_frame = min(ts) / NF * 1000
-    results[name] = per_frame
-    print(f"{name:22s} {per_frame:8.1f} ms/frame   (compile {compile_s:.0f}s)",
-          flush=True)
+    print(f"compiled {name} ({time.perf_counter()-t0:.0f}s)", flush=True)
+    fns[name] = fn
 
-print("\n--- stage deltas (ms/frame, in-scan) ---", flush=True)
+key = jax.random.PRNGKey(0)
+tbl = jax.random.normal(key, (1 << 20, 24))
+cidx = jax.random.randint(key, (1 << 20,), 0, 1 << 20)
+canary = jax.jit(lambda t, i: t[i].sum(0))
+_ = np.asarray(canary(tbl, cidx))
+
+ROUNDS = int(os.environ.get("AB_ROUNDS", "10"))
+best = {n: 1e9 for n, _ in VARIANTS}
+best_canary = 1e9
+for r in range(ROUNDS):
+    t0 = time.perf_counter()
+    _ = np.asarray(canary(tbl, cidx))
+    best_canary = min(best_canary, (time.perf_counter() - t0) * 1000)
+    for name, _stages in VARIANTS:
+        t0 = time.perf_counter()
+        out_state, _2 = fns[name](state0, batch)
+        _ = np.asarray(out_state.t)
+        best[name] = min(best[name], (time.perf_counter() - t0) * 1000 / NF)
+    print(f"round {r}: canary={best_canary:.0f} " +
+          "  ".join(f"{n}={best[n]:.0f}" for n in best), flush=True)
+
+print(f"\ncanary {best_canary:.1f} ms (healthy ~35)", flush=True)
+print("--- stage deltas (ms/frame, in-scan, interleaved-min) ---", flush=True)
 prev = 0.0
 for name, _ in VARIANTS:
-    print(f"{name:22s} delta {results[name] - prev:8.1f}")
-    prev = results[name]
+    print(f"{name:22s} {best[name]:8.1f}   delta {best[name] - prev:8.1f}",
+          flush=True)
+    prev = best[name]

@@ -21,6 +21,12 @@ CFG = small_test_config(
     pyramid_iterations=(2, 2, 2),
     so3_iterations=2,
     predict_conf_threshold=0.2,
+    # dense-map equivalence needs the fixed-iteration tracking mode: a
+    # data-dependent GN trip count (tracking_converge_eps > 0) can differ
+    # between shardings by one converged iteration (float reduction order
+    # near the threshold), and the resulting ~1e-7 pose difference flips
+    # discrete fuse associations into different-but-equally-valid rows
+    tracking_converge_eps=0.0,
 )
 
 
@@ -55,3 +61,33 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out.pred_vertex), np.asarray(ref.pred_vertex), atol=1e-3
     )
+
+def test_sharded_step_early_exit_trajectory():
+    """With GN early exit ON (default), sharded vs single-device may differ
+    by one converged iteration — the POSE must still agree to far below
+    sensor noise even though individual map rows may legitimately differ."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, tracking_converge_eps=1e-7)
+    scene = synth.default_room()
+    poses = synth.orbit_trajectory(2)
+    d0, c0 = synth.render_frame(scene, jnp.asarray(poses[0]), INTR)
+    d1, c1 = synth.render_frame(scene, jnp.asarray(poses[1]), INTR)
+    f0 = slam.FrameInput(depth=d0, rgb=c0)
+    f1 = slam.FrameInput(depth=d1, rgb=c1)
+
+    state = slam.bootstrap(f0, INTR, cfg, init_pose=poses[0])
+    ref = slam.step(state, f1, INTR, cfg)
+
+    mesh = sh.make_mesh(8)
+    st_shard = sh.state_sharding(mesh)
+    fr_shard = sh.frame_sharding(mesh)
+    sharded_step = jax.jit(
+        lambda s, f: slam.step(s, f, INTR, cfg),
+        in_shardings=(st_shard, fr_shard),
+        out_shardings=st_shard,
+    )
+    out = sharded_step(sh.shard_state(state, mesh), sh.shard_frame(f1, mesh))
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.R), np.asarray(ref.R), atol=1e-4)
+    assert abs(int(out.map.count) - int(ref.map.count)) < 32
