@@ -297,12 +297,23 @@ A_STAMP = 9
 A_ACTIVE = 10
 A_VALID = 11
 ATTR_CHANNELS = 12
+# extended channels (render_attr_image(extended=True)): raw map attributes
+# the raycast epilogue needs — fetched per-pixel so prediction assembly
+# never re-gathers the full-capacity surfel table
+A_EXT_COLOR = slice(12, 15)
+A_EXT_K1 = 15
+A_EXT_K2 = 16
+A_EXT_D1 = slice(17, 20)  # world-frame principal directions (raw)
+A_EXT_D2 = slice(20, 23)
+ATTR_EXT_CHANNELS = 23
 
 
 def render_attr_image(m: SurfelMap, index_map: jnp.ndarray,
                       pose_inv: jnp.ndarray,
-                      active: jnp.ndarray | None = None) -> jnp.ndarray:
-    """(H, W, 12) camera-frame attributes of the rendered surfel per pixel."""
+                      active: jnp.ndarray | None = None,
+                      extended: bool = False) -> jnp.ndarray:
+    """(H, W, 12|23) camera-frame attributes of the rendered surfel per
+    pixel (extra channels are ~free: row gathers cost per row)."""
     h, w = index_map.shape
     flat = index_map.reshape(-1)
     has = flat >= 0
@@ -312,14 +323,18 @@ def render_attr_image(m: SurfelMap, index_map: jnp.ndarray,
     nrm_cam = rows[:, NORMAL] @ pose_inv[:3, :3].T
     act = (active[cs] if active is not None
            else jnp.ones_like(has)).astype(jnp.float32)
-    img = jnp.concatenate([
+    chans = [
         pos_cam, nrm_cam,
         rows[:, CONF, None], rows[:, RADIUS, None],
         rows[:, INIT_TIME, None], rows[:, STAMP, None],
         act[:, None], has[:, None].astype(jnp.float32),
-    ], axis=-1)
+    ]
+    if extended:
+        chans += [rows[:, COLOR], rows[:, K1, None], rows[:, K2, None],
+                  rows[:, CURV_DIR1], rows[:, CURV_DIR2]]
+    img = jnp.concatenate(chans, axis=-1)
     img = jnp.where(has[:, None], img, 0.0)
-    return img.reshape(h, w, ATTR_CHANNELS)
+    return img.reshape(h, w, ATTR_EXT_CHANNELS if extended else ATTR_CHANNELS)
 
 
 def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,

@@ -99,8 +99,8 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
     D = 2 * R + 1
     perm = jnp.array([(dy + R) * D + (dx + R) for dy, dx in offs], jnp.int32)
 
-    attr = smod.render_attr_image(m, index_map, pose_inv)
-    cand = extract_patches(index_map, R, fill=-1).reshape(P, D * D)[:, perm]
+    attr_ext = smod.render_attr_image(m, index_map, pose_inv, extended=True)
+    attr = attr_ext[..., :smod.ATTR_CHANNELS]
 
     if cfg.use_pallas_raycast or pallas_interpret:
         from . import pallas_kernels
@@ -116,7 +116,8 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
         nearest = nearest.reshape(P)
         found = found.reshape(P)
         return _assemble_prediction(
-            m, pose_inv, cand, p_surf, nrm, nearest, found, intr, cfg)
+            attr_ext, pose_inv, p_surf, nrm, nearest, found, intr, cfg)
+    cand = extract_patches(index_map, R, fill=-1).reshape(P, D * D)[:, perm]
     ap = extract_patches(attr, R).reshape(P, D * D, smod.ATTR_CHANNELS)[:, perm]
     nb_pos = ap[..., smod.A_POS]                   # camera frame (P, n_off, 3)
     nb_nrm = ap[..., smod.A_NRM]
@@ -234,35 +235,44 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
     near_ok = jnp.take_along_axis(sel_ok, nearest[:, None], axis=1)[:, 0]
     found = found & near_ok
     return _assemble_prediction(
-        m, pose_inv, cand, p_surf, nrm, nearest, found, intr, cfg)
+        attr_ext, pose_inv, p_surf, nrm, nearest, found, intr, cfg)
 
 
-def _assemble_prediction(m: SurfelMap, pose_inv: jnp.ndarray,
-                         cand: jnp.ndarray, p_surf: jnp.ndarray,
+def _assemble_prediction(attr_ext: jnp.ndarray, pose_inv: jnp.ndarray,
+                         p_surf: jnp.ndarray,
                          nrm: jnp.ndarray, nearest: jnp.ndarray,
                          found: jnp.ndarray, intr: CameraIntrinsics,
                          cfg: SLAMConfig) -> Prediction:
     """Shared raycast epilogue: nearest-surfel attribute fetch + per-pixel
-    ICP weight (frag:282-302).  cand: (P, n_taps) ring-ordered candidate
-    surfel ids; nearest: (P,) ring-tap index of the closest neighbor."""
+    ICP weight (frag:282-302).  nearest: (P,) ring-tap index of the closest
+    neighbor.  Attributes come from the EXTENDED attr image at the tap's
+    pixel (one (P, 23) row gather from an image-sized table — the previous
+    full-capacity m.data gather at take_along_axis(cand, nearest) cost
+    ~19 ms/frame; this identity holds because cand IS the index map's
+    patch, so cand[nearest] == index_map[pixel + ring_offset(nearest)])."""
     from ..map import surfel_map as smod
 
     h, w = intr.height, intr.width
-
-    # nearest-surfel attributes: one (P, 24) row gather for the whole image
-    take = jnp.take_along_axis
-    near_id = take(cand, nearest[:, None], axis=1)[:, 0]
-    near_rows = m.data[jnp.clip(near_id, 0, m.data.shape[0] - 1)]
+    P = h * w
+    R = cfg.predict_window_multiplier
+    offs = jnp.asarray(_ring_offsets(R), jnp.float32)       # (n_off, 2) dy,dx
+    onehot = (nearest[:, None] ==
+              jnp.arange(offs.shape[0], dtype=jnp.int32)[None, :])
+    d_yx = onehot.astype(jnp.float32) @ offs                # (P, 2) on MXU
+    pid = jnp.arange(P, dtype=jnp.int32)
+    py = jnp.clip(pid // w + d_yx[:, 0].astype(jnp.int32), 0, h - 1)
+    px = jnp.clip(pid % w + d_yx[:, 1].astype(jnp.int32), 0, w - 1)
+    near = attr_ext.reshape(P, smod.ATTR_EXT_CHANNELS)[py * w + px]
     Rr = pose_inv[:3, :3]
 
-    conf = jnp.where(found, near_rows[:, smod.CONF], 0.0)
-    radius = jnp.where(found, near_rows[:, smod.RADIUS], 0.0)
-    color = jnp.where(found[:, None], near_rows[:, smod.COLOR], 0.0)
-    k1 = jnp.where(found, near_rows[:, smod.K1], 1000.0)
-    k2 = jnp.where(found, near_rows[:, smod.K2], 1000.0)
-    d1 = jnp.where(found[:, None], near_rows[:, smod.CURV_DIR1] @ Rr.T, 0.0)
-    d2_ = jnp.where(found[:, None], near_rows[:, smod.CURV_DIR2] @ Rr.T, 0.0)
-    itime = jnp.where(found, near_rows[:, smod.INIT_TIME].astype(jnp.int32), 0)
+    conf = jnp.where(found, near[:, smod.A_CONF], 0.0)
+    radius = jnp.where(found, near[:, smod.A_RADIUS], 0.0)
+    color = jnp.where(found[:, None], near[:, smod.A_EXT_COLOR], 0.0)
+    k1 = jnp.where(found, near[:, smod.A_EXT_K1], 1000.0)
+    k2 = jnp.where(found, near[:, smod.A_EXT_K2], 1000.0)
+    d1 = jnp.where(found[:, None], near[:, smod.A_EXT_D1] @ Rr.T, 0.0)
+    d2_ = jnp.where(found[:, None], near[:, smod.A_EXT_D2] @ Rr.T, 0.0)
+    itime = jnp.where(found, near[:, smod.A_INIT].astype(jnp.int32), 0)
 
     lam = cfg.icp_curv_weight_lambda
     cmax = jnp.maximum(jnp.abs(k1), jnp.abs(k2))
