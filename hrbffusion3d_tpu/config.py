@@ -155,6 +155,10 @@ class SLAMConfig:
     # fused Pallas HRBF raycast (ladder+bisection+gradient in VMEM) — the
     # XLA path re-reads the neighbor patches ~61x from HBM per frame
     use_pallas_raycast: bool = False
+    # rows per raycast grid block (VMEM: BH x (w+2R) x 9ch tap stacks +
+    # accumulators; 8 fits the default scoped limit, 16 needs the raised
+    # 64 MB cap and halves per-block fixed overheads)
+    raycast_block_height: int = 8
     # run the kill rules every frame (reference parity) but stream-compact
     # the surfel array only every N-th frame (tombstones in between); the
     # compaction is a full-capacity sort + row gather

@@ -416,7 +416,7 @@ def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
     found (H,W) bool)."""
     R = cfg.predict_window_multiplier
     h, w = attr9.shape[:2]
-    BH = 8
+    BH = cfg.raycast_block_height
     acf = jnp.moveaxis(jnp.pad(attr9, [(R, R), (R, R), (0, 0)]), -1, 0)
     blocks = jnp.stack([_expand_rows(acf[c], BH, R) for c in range(9)], axis=1)
     nb = blocks.shape[0]

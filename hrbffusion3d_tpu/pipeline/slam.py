@@ -160,13 +160,29 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
     # ONE z-buffer render per frame: fuse updates the index map in place
     # (new surfels at their own pixels), clean translates it through the
     # compaction remap for prediction
-    active = sm.active_from_submaps(state.map, state.active_submaps)
+    # ONE per-surfel submap-activity gather per frame: fuse only appends a
+    # contiguous block whose submap is the CURRENT one (always active), and
+    # merges keep the old submap — so the post-fuse mask is the pre-fuse
+    # gather with the appended block overwritten (a full-capacity 1-ch
+    # gather costs ~4 ms; the slice update is free)
+    n_cap = state.map.data.shape[0]
+    sub_act = state.active_submaps[
+        jnp.clip(state.map.submap, 0, state.active_submaps.shape[0] - 1)]
+    active = state.map.valid & sub_act
     idx = sm.render_index(state.map, pose_inv, intr, active=active)
     m, idx2 = sm.fuse(state.map, meas, pose, idx, intr, cfg, time=time,
                       submap_idx=state.submap_idx)
+    S = min(cfg.new_surfels_capacity, (intr.height // 2) * (intr.width // 2),
+            n_cap)
+    start = jnp.clip(state.map.count, 0, n_cap - S)
+    cur_act = jnp.broadcast_to(
+        state.active_submaps[jnp.clip(state.submap_idx, 0,
+                                      state.active_submaps.shape[0] - 1)],
+        (S,))
+    sub_act2 = jax.lax.dynamic_update_slice(sub_act, cur_act, (start,))
     m, remap = sm.clean_with_remap(
         m, pose, idx2, intr, cfg, time=time,
-        active=sm.active_from_submaps(m, state.active_submaps))
+        active=m.valid & sub_act2)
 
     # ---- PREDICTION (l.1233, predict() 1244-1260) ----
     # translate the post-fuse render through the compaction instead of a

@@ -235,3 +235,36 @@ def test_fuse_gather_quarter_matches_slice():
         np.testing.assert_array_equal(np.asarray(mg.data), np.asarray(ms.data))
         assert int(mg.count) == int(ms.count)
         np.testing.assert_array_equal(np.asarray(ig), np.asarray(is_))
+
+
+def test_incremental_active_mask_matches_full_gather():
+    # step() patches the pre-fuse submap-activity gather with the appended
+    # block instead of re-gathering post-fuse; verify the identity
+    import jax
+
+    meas, _ = _measure(np.eye(4, dtype=np.float32))
+    pose = jnp.eye(4)
+    m = sm.initialise(CFG.map_capacity, meas, pose, CFG, time=1)
+    n_cap = m.data.shape[0]
+    act_sub = jnp.zeros((16,), bool).at[0].set(True).at[3].set(True)
+    # scatter some surfels into another submap to make the mask non-trivial
+    data = m.data.at[100:200, sm.SUBMAP].set(7.0)   # inactive submap
+    data = data.at[200:300, sm.SUBMAP].set(3.0)     # active submap
+    m = sm.SurfelMap(data=data, count=m.count)
+
+    sub_act = act_sub[jnp.clip(m.submap, 0, act_sub.shape[0] - 1)]
+    idx = sm.render_index(m, jnp.eye(4), INTR, active=m.valid & sub_act)
+    poseB = np.asarray(lie.se3_exp(jnp.array([0, 0, 0, 0.0, 0.1, 0.0])), np.float32)
+    measB, _ = _measure(poseB)
+    submap_idx = jnp.int32(3)
+    m2, _ = sm.fuse(m, measB, jnp.asarray(poseB), idx, INTR, CFG,
+                    time=2, submap_idx=submap_idx)
+
+    P = (INTR.height // 2) * (INTR.width // 2)
+    S = min(CFG.new_surfels_capacity, P, n_cap)
+    start = jnp.clip(m.count, 0, n_cap - S)
+    cur = jnp.broadcast_to(act_sub[submap_idx], (S,))
+    sub_act2 = jax.lax.dynamic_update_slice(sub_act, cur, (start,))
+    incremental = m2.valid & sub_act2
+    full = sm.active_from_submaps(m2, act_sub)
+    np.testing.assert_array_equal(np.asarray(incremental), np.asarray(full))
