@@ -156,9 +156,10 @@ class SLAMConfig:
     # XLA path re-reads the neighbor patches ~61x from HBM per frame
     use_pallas_raycast: bool = False
     # rows per raycast grid block (VMEM: BH x (w+2R) x 9ch tap stacks +
-    # accumulators; 8 fits the default scoped limit, 16 needs the raised
-    # 64 MB cap and halves per-block fixed overheads)
-    raycast_block_height: int = 8
+    # accumulators; 16 needs a ~66 MB scoped-vmem cap — raised
+    # automatically — and saves ~6 ms/frame over 8 in per-block fixed
+    # costs; falls back to a divisor of the image height when needed)
+    raycast_block_height: int = 16
     # run the kill rules every frame (reference parity) but stream-compact
     # the surfel array only every N-th frame (tombstones in between); the
     # compaction is a full-capacity sort + row gather

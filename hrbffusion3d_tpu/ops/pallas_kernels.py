@@ -417,6 +417,8 @@ def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
     R = cfg.predict_window_multiplier
     h, w = attr9.shape[:2]
     BH = cfg.raycast_block_height
+    while h % BH != 0:   # grid blocks must tile the image rows exactly
+        BH //= 2
     acf = jnp.moveaxis(jnp.pad(attr9, [(R, R), (R, R), (0, 0)]), -1, 0)
     blocks = jnp.stack([_expand_rows(acf[c], BH, R) for c in range(9)], axis=1)
     nb = blocks.shape[0]
@@ -441,9 +443,11 @@ def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
         out_specs=pl.BlockSpec((1, 8, BH, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 8, BH, w), jnp.float32),
-        # the unrolled-tap live ranges stack-allocate ~18 MB — above the
-        # default 16 MB scoped-vmem limit but well under the 128 MB chip VMEM
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        # the unrolled-tap live ranges stack-allocate ~18 MB at BH=8
+        # (~66 MB at BH=16) — above the default 16 MB scoped-vmem limit but
+        # under the 128 MB chip VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(100 if BH > 8 else 64) * 1024 * 1024),
         interpret=interpret,
     )(blocks)
     out = jnp.moveaxis(out, 1, -1)            # (NB, BH, w, 8)

@@ -36,11 +36,12 @@ def _tiny_leaf(out):
 # The tunable axes (name, values).  Every combination shares the same jit
 # cache bucket structure, so the sweep cost is dominated by compiles of
 # genuinely different graphs.
+# Round-1 sweeps settled use_pallas_raycast=True, geometric ladder ON and
+# joint-gather tracking ON (NOTES_R1); the remaining uncertain axes:
 AXES = {
-    "use_pallas_raycast": [True, False],
-    "raycast_geometric_ladder": [True, False],
-    "tracking_joint_gather": [True, False],
-    "clean_compact_period": [1, 4],
+    "raycast_block_height": [8, 16],
+    "clean_compact_period": [4, 1],
+    "raycast_bisection_iters": [10, 6],
 }
 
 
@@ -64,7 +65,8 @@ def main():
     from hrbffusion3d_tpu.pipeline import slam
 
     intr = TUM1
-    base = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2)
+    base = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2,
+                      use_pallas_raycast=True)
 
     scene = synth.default_room()
     poses = synth.orbit_trajectory(8, angle_per_frame=0.004)
