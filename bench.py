@@ -28,11 +28,12 @@ BASELINE_FPS = 30.0
 
 def main():
     intr = TUM1  # 640x480
+    # the autotuned configuration (scripts/autotune.py -> tuned.json, the
+    # reference's GPUTest/GPUConfig analogue); bisect6 costs +0.2% synth
+    # ATE (scripts/ate_sensitivity.py), everything else is parity
     cfg = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2,
-                     # fused Pallas raycast + periodic compaction: measured
-                     # 268.6 -> 217.8 ms/frame (interleaved-min protocol,
-                     # scripts/tpu_ab.py)
-                     use_pallas_raycast=True, clean_compact_period=4)
+                     use_pallas_raycast=True, clean_compact_period=4,
+                     raycast_block_height=16, raycast_bisection_iters=6)
 
     scene = synth.default_room()
     poses = synth.orbit_trajectory(8, angle_per_frame=0.004)

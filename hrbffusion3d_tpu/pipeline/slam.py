@@ -109,15 +109,23 @@ def bootstrap(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig,
 
 def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
               cfg: SLAMConfig,
-              fixed_pose: jnp.ndarray | None = None) -> SLAMState:
+              fixed_pose: jnp.ndarray | None = None,
+              pre_done=None) -> SLAMState:
     """One tracked+fused frame (HRBFFusion.cpp:991-1241, BA hooks excluded).
 
     ``fixed_pose``: optional (4,4) camera-to-world pose.  When given,
     tracking is skipped and the pose is taken as-is — the reference's
     ``globalInputLoadTrajectory`` replay mode (HRBFFusion.cpp:57-61,
-    1105-1108), which isolates fusion/prediction from tracking."""
+    1105-1108), which isolates fusion/prediction from tracking.
+    ``pre_done``: optional precomputed ``_preprocess`` result — step_many
+    batches preprocessing across its frames (it is frame-local, so a vmap
+    outside the scan runs it with 7x bigger shapes and 7x fewer
+    fixed-cost ops than re-tracing it inside every scan iteration)."""
     time = state.time + 1
-    depth_f, pre, curv, intensity = _preprocess(frame, intr, cfg)
+    if pre_done is None:
+        depth_f, pre, curv, intensity = _preprocess(frame, intr, cfg)
+    else:
+        depth_f, pre, curv, intensity = pre_done
 
     if fixed_pose is None:
         # ---- TRACKING (frame-to-model, l.1063-1109) ----
@@ -232,11 +240,14 @@ def step_many(state: SLAMState, frames: FrameInput, intr: CameraIntrinsics,
     a 30 fps frame budget).  frames: FrameInput with leading frame axis.
     Returns (final state, (N,3) per-frame translations)."""
 
-    def body(s, f):
-        s2 = step_impl(s, f, intr, cfg)
+    pres = jax.vmap(lambda f: _preprocess(f, intr, cfg))(frames)
+
+    def body(s, fp):
+        f, pre_done = fp
+        s2 = step_impl(s, f, intr, cfg, pre_done=pre_done)
         return s2, s2.t
 
-    return jax.lax.scan(body, state, frames)
+    return jax.lax.scan(body, state, (frames, pres))
 
 
 # single-frame replay: the jitted ``step`` already accepts
