@@ -115,6 +115,14 @@ class SLAMConfig:
     # brackets.  8 HRBF ladder evals per direction instead of 25 — the
     # evals, not HBM traffic, bound the raycast kernel.
     raycast_geometric_ladder: bool = True
+    # batched k-section root refinement: instead of N sequential bisection
+    # iterations (each a full pass over the 49-tap neighbor stacks), evaluate
+    # B interior points per pass in ONE batched HRBF evaluation and keep the
+    # sign-change sub-interval — ceil(N / log2(B+1)) passes reach the same
+    # bracket width.  More FLOPs (B evals/pass) but ~3x fewer passes over
+    # the tap stacks; the fused kernel is pass-bound, not FLOP-bound.
+    # 0 = sequential bisection (reference semantics, predict_hrbf.frag:236)
+    raycast_bisection_batch: int = 0
 
     # -- fusion / cleaning (GlobalStateParam.txt:74-77, copy_unstable.vert) --
     fuse_window_multiplier: int = 2         # fusionMergeWindowMultiplier
@@ -184,6 +192,17 @@ class SLAMConfig:
     # frame); >1 trades prediction smoothness for speed (the raycast is the
     # single most expensive stage)
     raycast_period: int = 1
+    # re-gather tracking correspondences every N-th GN iteration and run
+    # fixed-correspondence iterations in between (classic ICP inner
+    # iterations: the carried association (model point/normal/weight,
+    # photometric target) stays fixed while the residuals, gates and
+    # Jacobians are recomputed under the updated pose — all elementwise).
+    # The per-iteration correspondence row gather is the single most
+    # expensive tracking op (~3 ms at 640x480); pose increments move the
+    # warp subpixel after the first finest-level iterations, so stale
+    # associations cost little accuracy.  1 = reference parity (re-gather
+    # every iteration, as reduce.cu does)
+    tracking_reassoc_period: int = 1
 
 
 DEFAULT_CONFIG = SLAMConfig()

@@ -22,7 +22,15 @@ Channel map (C = 24):
   10:13 normal           13    radius
   14:17 curv_dir1        17    k1
   18:21 curv_dir2        21    k2
-  22    valid (0/1)      23    pad
+  22    valid (0/1)      23    act (0/1 — submap-activity flag)
+
+The activity flag (channel 23) caches ``active_submaps[submap]`` per surfel
+(the KeyFrameIDMap mask, GlobalModel.cpp:586-598) so the per-frame pipeline
+never re-gathers per-surfel activity (a full-capacity 1-ch gather costs
+~4 ms at 512k): appends write the current submap's activity, merges keep the
+old surfel's flag (merges keep the old submap), compaction moves rows
+wholesale, and the host refreshes the channel only when the covisible-KF set
+changes (keyframe insert / loop closure — ``refresh_active_channel``).
 """
 
 from __future__ import annotations
@@ -53,6 +61,7 @@ K1 = 17
 CURV_DIR2 = slice(18, 21)
 K2 = 21
 VALID = 22
+ACT = 23
 
 
 class SurfelMap(NamedTuple):
@@ -112,6 +121,11 @@ class SurfelMap(NamedTuple):
     def valid(self):
         return self.data[:, VALID] > 0.5
 
+    @property
+    def active(self):
+        """valid & submap-active (the cached KeyFrameIDMap mask)."""
+        return (self.data[:, VALID] > 0.5) & (self.data[:, ACT] > 0.5)
+
 
 def empty_map(capacity: int) -> SurfelMap:
     data = jnp.zeros((capacity, N_CHANNELS), jnp.float32)
@@ -156,8 +170,10 @@ def _measurement_valid(m: FrameMeasurement, cfg: SLAMConfig) -> jnp.ndarray:
     )
 
 
-def _pack_frame(m: FrameMeasurement, pose: jnp.ndarray, submap_idx, time) -> jnp.ndarray:
-    """Flatten a measurement into packed (P, 24) world-frame surfel rows."""
+def _pack_frame(m: FrameMeasurement, pose: jnp.ndarray, submap_idx, time,
+                act=1.0) -> jnp.ndarray:
+    """Flatten a measurement into packed (P, 24) world-frame surfel rows.
+    ``act``: activity flag of the surfels' submap (scalar, may be traced)."""
     h, w = m.radius.shape
     P = h * w
     R = pose[:3, :3]
@@ -176,6 +192,7 @@ def _pack_frame(m: FrameMeasurement, pose: jnp.ndarray, submap_idx, time) -> jnp
     rows = rows.at[:, CURV_DIR2].set(m.curv_dir2.reshape(P, 3) @ R.T)
     rows = rows.at[:, K2].set(m.k2.reshape(P))
     rows = rows.at[:, VALID].set(1.0)
+    rows = rows.at[:, ACT].set(jnp.asarray(act, jnp.float32))
     return rows
 
 
@@ -310,10 +327,11 @@ ATTR_EXT_CHANNELS = 23
 
 def render_attr_image(m: SurfelMap, index_map: jnp.ndarray,
                       pose_inv: jnp.ndarray,
-                      active: jnp.ndarray | None = None,
                       extended: bool = False) -> jnp.ndarray:
     """(H, W, 12|23) camera-frame attributes of the rendered surfel per
-    pixel (extra channels are ~free: row gathers cost per row)."""
+    pixel (extra channels are ~free: row gathers cost per row).  The
+    A_ACTIVE channel is the surfel's cached activity flag (ACT channel) —
+    no separate per-surfel activity gather."""
     h, w = index_map.shape
     flat = index_map.reshape(-1)
     has = flat >= 0
@@ -321,8 +339,7 @@ def render_attr_image(m: SurfelMap, index_map: jnp.ndarray,
     rows = m.data[cs]                                 # ONE (P, 24) row gather
     pos_cam = rows[:, POS] @ pose_inv[:3, :3].T + pose_inv[:3, 3]
     nrm_cam = rows[:, NORMAL] @ pose_inv[:3, :3].T
-    act = (active[cs] if active is not None
-           else jnp.ones_like(has)).astype(jnp.float32)
+    act = rows[:, ACT]
     chans = [
         pos_cam, nrm_cam,
         rows[:, CONF, None], rows[:, RADIUS, None],
@@ -339,7 +356,7 @@ def render_attr_image(m: SurfelMap, index_map: jnp.ndarray,
 
 def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
          index_map: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
-         time, submap_idx) -> SurfelMap:
+         time, submap_idx, act=1.0) -> SurfelMap:
     """Two-stage ElasticFusion-style fusion (data.vert + update.vert,
     GlobalModel.cpp:355-468 / 470-548).
 
@@ -390,7 +407,7 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
         tbl = jnp.concatenate([
             _measurement_valid(meas, cfg)[..., None].astype(jnp.float32),
             meas.vertex, meas.normal,
-            _pack_frame(meas, pose, submap_idx, time).reshape(h, w, 24),
+            _pack_frame(meas, pose, submap_idx, time, act).reshape(h, w, 24),
             extract_patches(attr, 1).reshape(h, w, 9 * ATTR_CHANNELS),
             extract_patches(index_map, 1, fill=-1).astype(jnp.float32),
         ], axis=-1).reshape(h * w, 31 + 9 * ATTR_CHANNELS + 9)
@@ -414,7 +431,7 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
         ok_pix = _measurement_valid(meas_q, cfg).reshape(P)
         v_local = meas_q.vertex.reshape(P, 3)
         n_local = meas_q.normal.reshape(P, 3)
-        new_rows = _pack_frame(meas_q, pose, submap_idx, time)     # (P,24)
+        new_rows = _pack_frame(meas_q, pose, submap_idx, time, act)  # (P,24)
         # association inputs (the GL data.vert texture fetches), quartered
         patch = qsel(extract_patches(attr, 1)).reshape(P, 9, ATTR_CHANNELS)
         cand = qsel(extract_patches(index_map, 1, fill=-1)).reshape(P, 9)
@@ -479,6 +496,8 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     merged = merged.at[:, INIT_TIME].set(old[:, INIT_TIME])
     merged = merged.at[:, STAMP].set(meas_rows[:, STAMP])
     merged = merged.at[:, VALID].set(1.0)
+    # merges keep the old submap, hence the old activity flag
+    merged = merged.at[:, ACT].set(old[:, ACT])
     data = jnp.where(has_winner[:, None], merged, old)
     m = SurfelMap(data=data, count=m.count)
 
@@ -514,7 +533,7 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
 
 def clean_mask(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
                intr: CameraIntrinsics, cfg: SLAMConfig, time,
-               active: jnp.ndarray | None = None) -> jnp.ndarray:
+               attr: jnp.ndarray | None = None) -> jnp.ndarray:
     """Survival mask of the cleaning pass (copy_unstable.vert:62-166).
 
     Kill rules per surfel:
@@ -541,11 +560,14 @@ def clean_mask(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
     yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
 
     # one attr-image render + pre-extracted 3x3 patches; each surfel then
-    # needs only a single row gather of its pixel's 9-tap patch
+    # needs only a single row gather of its pixel's 9-tap patch.  ``attr``
+    # may be passed in precomputed (slam.step renders ONE extended attr
+    # image after fuse and shares it between clean and prediction)
     from ..ops.patches import extract_patches
 
-    pose_inv = jnp.eye(4).at[:3, :3].set(pose_inv_R).at[:3, 3].set(pose_inv_t)
-    attr = render_attr_image(m, index_map, pose_inv, active=active)
+    if attr is None:
+        pose_inv = jnp.eye(4).at[:3, :3].set(pose_inv_R).at[:3, 3].set(pose_inv_t)
+        attr = render_attr_image(m, index_map, pose_inv)
     patch_img = extract_patches(attr, 1).reshape(h * w, 9 * ATTR_CHANNELS)
     rows9 = patch_img[yi * w + xi].reshape(n, 9, ATTR_CHANNELS)
 
@@ -586,15 +608,14 @@ def clean_mask(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
 
 
 def clean(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
-          intr: CameraIntrinsics, cfg: SLAMConfig, time,
-          active: jnp.ndarray | None = None) -> SurfelMap:
+          intr: CameraIntrinsics, cfg: SLAMConfig, time) -> SurfelMap:
     """Cleaning pass + stream compaction (see clean_mask / compact)."""
-    return compact(m, clean_mask(m, pose, index_map, intr, cfg, time, active))
+    return compact(m, clean_mask(m, pose, index_map, intr, cfg, time))
 
 
 def clean_with_remap(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
                      intr: CameraIntrinsics, cfg: SLAMConfig, time,
-                     active: jnp.ndarray | None = None):
+                     attr: jnp.ndarray | None = None):
     """clean() + (old index -> new index, -1 if killed) remap so the caller
     can translate an existing index map instead of re-rendering (prediction
     filters out fresh unstable surfels by confidence anyway, so a remapped
@@ -607,7 +628,7 @@ def clean_with_remap(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
     tie-breaks (ties at the same pixel within one quantisation step break
     by array index — the reference's GL equivalent is last-write
     nondeterminism)."""
-    keep = clean_mask(m, pose, index_map, intr, cfg, time, active)
+    keep = clean_mask(m, pose, index_map, intr, cfg, time, attr=attr)
     n = m.data.shape[0]
     period = getattr(cfg, "clean_compact_period", 1)
 
@@ -678,3 +699,14 @@ def active_from_submaps(m: SurfelMap, submap_active: jnp.ndarray) -> jnp.ndarray
     """Per-surfel activity mask from the active-keyframe set
     (KeyFrameIDMap texture, GlobalModel.cpp:586-598)."""
     return m.valid & submap_active[jnp.clip(m.submap, 0, submap_active.shape[0] - 1)]
+
+
+@jax.jit
+def refresh_active_channel(m: SurfelMap, submap_active: jnp.ndarray) -> SurfelMap:
+    """Rewrite the cached per-surfel activity flag (ACT channel) from the
+    active-keyframe set.  Called only when the covisible-KF set changes
+    (keyframe insert / loop closure, HRBFFusion.cpp:1160-1170) — the
+    per-frame pipeline reads the cached channel instead of re-gathering."""
+    act = submap_active[jnp.clip(m.submap, 0, submap_active.shape[0] - 1)]
+    return SurfelMap(
+        data=m.data.at[:, ACT].set(act.astype(jnp.float32)), count=m.count)

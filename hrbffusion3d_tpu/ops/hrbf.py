@@ -185,6 +185,72 @@ def hrbf_value_grad(
     return f, grad, n_support
 
 
+def grad_hess_direct(
+    v: jnp.ndarray,
+    d2: jnp.ndarray,
+    nb_normal: jnp.ndarray,
+    nb_support: jnp.ndarray,
+    nb_mask: jnp.ndarray,
+):
+    """Per-neighbor contributions to (∇f, ∇²f) with the Hermite coefficient
+    contracted analytically — no (..., 3, 3) / (..., 3, 3, 3) phi-derivative
+    tensors are materialised (the einsum formulation writes ~2 GB of rank-3
+    intermediates per 640x480 frame).
+
+    v = x - p: (..., 3); d2: (...); returns (g: (..., 3), h6: (..., 6)) with
+    h6 = [h00, h01, h02, h11, h12, h22] of the symmetric per-neighbor
+    Hessian contribution.  Algebra (c = 10 n, hrbfbase.glsl:20-124):
+      -H.c   = -(a c + b2 (v.c) v),  a = -20 s^3/T^2, b2 = 60 (s^2/r)/T^4
+               (at d2 == 0: +20/T^2 c)
+      -T3.c  = -c60 [ b (c_i v_j + c_j v_i + d_ij (v.c)) - k (v.c) v_i v_j ],
+               c60 = 60/T^4, b = s^2/r, k = (2s + b)/(T^2 r^2); 0 at d2 == 0.
+    """
+    T2 = nb_support * nb_support
+    safe_T2 = jnp.maximum(T2, _EPS)
+    r = jnp.sqrt(jnp.maximum(d2, 0.0) / safe_T2)
+    safe_r = jnp.maximum(r, 1e-20)
+    s = jnp.maximum(1.0 - r, 0.0)
+    b = s * s / safe_r
+    inside = nb_mask & (d2 <= T2) & (d2 > 0.0)
+    at_zero = nb_mask & (d2 == 0.0) & (T2 > 0.0)
+
+    c = HERMITE_SCALE * nb_normal
+    vc = jnp.sum(v * c, axis=-1)
+    a = -20.0 * (s ** 3) / safe_T2
+    b2 = 60.0 * b / (safe_T2 * safe_T2)
+    # masks must SELECT (not multiply): degenerate taps (T2 = 0, d2 = 0)
+    # produce inf/nan in the raw coefficients and 0 * nan = nan
+    zero = jnp.zeros_like(d2)
+    g = (jnp.where(inside[..., None], -a[..., None] * c
+                   - (b2 * vc)[..., None] * v, 0.0)
+         + jnp.where(at_zero[..., None], (20.0 / safe_T2)[..., None] * c, 0.0))
+
+    c60 = 60.0 / (safe_T2 * safe_T2)
+    k = (2.0 * s + b) / (safe_T2 * safe_r * safe_r)
+    cb = jnp.where(inside, c60 * b, zero)            # (...,)
+    ck = jnp.where(inside, c60 * k * vc, zero)
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+    c0, c1, c2 = c[..., 0], c[..., 1], c[..., 2]
+    cbvc = cb * vc
+    h00 = -(cb * 2.0 * c0 * v0 + cbvc - ck * v0 * v0)
+    h11 = -(cb * 2.0 * c1 * v1 + cbvc - ck * v1 * v1)
+    h22 = -(cb * 2.0 * c2 * v2 + cbvc - ck * v2 * v2)
+    h01 = -(cb * (c0 * v1 + c1 * v0) - ck * v0 * v1)
+    h02 = -(cb * (c0 * v2 + c2 * v0) - ck * v0 * v2)
+    h12 = -(cb * (c1 * v2 + c2 * v1) - ck * v1 * v2)
+    h6 = jnp.stack([h00, h01, h02, h11, h12, h22], axis=-1)
+    return g, h6
+
+
+def hess_from_h6(h6: jnp.ndarray) -> jnp.ndarray:
+    """[h00,h01,h02,h11,h12,h22] (..., 6) -> symmetric (..., 3, 3)."""
+    h00, h01, h02, h11, h12, h22 = (h6[..., i] for i in range(6))
+    row0 = jnp.stack([h00, h01, h02], axis=-1)
+    row1 = jnp.stack([h01, h11, h12], axis=-1)
+    row2 = jnp.stack([h02, h12, h22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
 def principal_curvatures(gradient: jnp.ndarray, hessian: jnp.ndarray):
     """Principal curvatures + directions of the implicit's Monge patch.
 

@@ -176,6 +176,8 @@ def joint_step(
     next_image: jnp.ndarray,
     static_valid: jnp.ndarray,
     intr: CameraIntrinsics, cfg: SLAMConfig,
+    assoc_prev: jnp.ndarray | None = None,  # (H*W, 9) carried association
+    do_gather: jnp.ndarray | None = None,   # () bool — re-gather this iter?
 ):
     """Fused ICP + photometric correspondence pass sharing ONE row gather
     (the default-config fast path; identical math to icp_step(R=0) +
@@ -187,7 +189,14 @@ def joint_step(
     gated by normal/depth-range validity, which only the ICP term requires
     — where the gate passes both unprojections are bit-identical).
 
-    Returns (icp StepResult, RGBCorres)."""
+    ``assoc_prev``/``do_gather`` implement fixed-correspondence iterations
+    (cfg.tracking_reassoc_period > 1): when ``do_gather`` is False the
+    carried association rows [model vertex(3) | normal(3) | weight | depth
+    | intensity] are reused and the expensive correspondence gather is
+    skipped — all residuals, gates and Jacobians are still recomputed under
+    the current pose (classic ICP inner iterations).
+
+    Returns (icp StepResult, RGBCorres, assoc (H*W, 9))."""
     from ..core import camera
 
     h, w = vmap_curr.shape[:2]
@@ -218,23 +227,34 @@ def joint_step(
     au = u0f - u0.astype(jnp.float32)
     av = v0f - v0.astype(jnp.float32)
 
-    # ---- the ONE gather ----
-    flat = v0 * w + u0
-    c = joint_rows[flat]                               # (N, 36)
+    # ---- the ONE gather (conditional under fixed-correspondence mode) ----
+    def gather_assoc():
+        flat = v0 * w + u0
+        c = joint_rows[flat]                           # (N, 36)
+        near_u = (au > 0.5)[:, None]
+        near_v = (av > 0.5)[:, None]
+        # branchless corner select (a take_along_axis here would be another
+        # per-element gather — 3 wide selects are pure VPU work); the
+        # per-corner layout is [v(3) n(3) w d i], so sel[:, 7] is already
+        # the nearest-corner depth
+        sel = jnp.where(near_v,
+                        jnp.where(near_u, c[:, 27:36], c[:, 18:27]),
+                        jnp.where(near_u, c[:, 9:18], c[:, 0:9]))
+        # photometric: bilinear intensity over the 2x2 footprint
+        i00, i01, i10, i11 = c[:, 8], c[:, 17], c[:, 26], c[:, 35]
+        i_last = (i00 * (1 - au) * (1 - av) + i01 * au * (1 - av)
+                  + i10 * (1 - au) * av + i11 * au * av)
+        return jnp.concatenate([sel[:, 0:8], i_last[:, None]], axis=-1)
 
-    # ---- ICP term: nearest-corner model row (u = round(u0f)) ----
-    near_u = (au > 0.5)[:, None]
-    near_v = (av > 0.5)[:, None]
-    # branchless corner select (a take_along_axis here would be another
-    # per-element gather — 3 wide selects are pure VPU work)
-    sel = jnp.where(near_v,
-                    jnp.where(near_u, c[:, 27:36], c[:, 18:27]),
-                    jnp.where(near_u, c[:, 9:18], c[:, 0:9]))
-    vp = sel[:, 0:3]
-    np_ = sel[:, 3:6]
-    wp = sel[:, 6]
-    near_u = near_u[:, 0]
-    near_v = near_v[:, 0]
+    if assoc_prev is None:
+        assoc = gather_assoc()
+    else:
+        assoc = jax.lax.cond(do_gather, gather_assoc, lambda: assoc_prev)
+    vp = assoc[:, 0:3]
+    np_ = assoc[:, 3:6]
+    wp = assoc[:, 6]
+    d0 = assoc[:, 7]
+    i_last = assoc[:, 8]
 
     ui = jnp.round(u0f).astype(jnp.int32)
     vi = jnp.round(v0f).astype(jnp.int32)
@@ -262,15 +282,8 @@ def joint_step(
     icp_res = StepResult(A=A, b=b, residual2=r2,
                          count=jnp.sum(found.astype(jnp.float32)))
 
-    # ---- photometric term: bilinear intensity, nearest depth ----
-    d00, i00 = c[:, 7], c[:, 8]
-    d01, i01 = c[:, 16], c[:, 17]
-    d10, i10 = c[:, 25], c[:, 26]
-    d11, i11 = c[:, 34], c[:, 35]
-    i_last = (i00 * (1 - au) * (1 - av) + i01 * au * (1 - av)
-              + i10 * (1 - au) * av + i11 * au * av)
-    d0 = jnp.where(near_v, jnp.where(near_u, d11, d10),
-                   jnp.where(near_u, d01, d00))
+    # ---- photometric term (bilinear intensity + nearest-corner depth come
+    # from the association rows) ----
     in_last = (u0f >= 0) & (v0f >= 0) & (u0f <= w - 1) & (v0f <= h - 1) & (z > 0)
     td1 = z
     i_next = next_image.reshape(n_pix)
@@ -282,7 +295,7 @@ def joint_step(
         sigma_sum=jnp.sum(diff * diff),
         count=jnp.sum(rgb_valid.astype(jnp.float32)),
     )
-    return icp_res, corres
+    return icp_res, corres, assoc
 
 
 def rgb_static_valid(next_image: jnp.ndarray, d_idx: jnp.ndarray,

@@ -195,7 +195,7 @@ def _ring_taps(radius: int):
 
 def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
                     STEPS, STEP, BIS, FX, FY, CX, CY, TAPSTACK=True,
-                    G_OFFS=None):
+                    G_OFFS=None, KSEC_B=1, KSEC_P=0):
     """Per-block HRBF raycast with the neighbor window in VMEM.
 
     attr channels (channels-first): 0:3 pos | 3:6 nrm | 6 conf | 7 radius
@@ -292,16 +292,23 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
             f += jnp.where(m, 20.0 * (s ** 3) * iT2 * vc, 0.0)
         return f
 
-    # ---- centre support count (frag: enough neighbors in support) ----
+    # ---- f0 + centre support count in ONE pass over the tap stacks (both
+    # evaluate at t0*ray; the support mask (sel & d2 < T2) is shared) ----
     ncnt = jnp.zeros((BH, W), jnp.float32)
+    f0 = jnp.zeros((BH, W), jnp.float32)
     cxp, cyp, czp = t0 * rx, t0 * ry, t0 * rz
     for j in range(len(taps)):
-        px, py, pz, _, _, _, T2, _ = tap_data(j)
+        px, py, pz, cx_, cy_, cz_, T2, iT2 = tap_data(j)
         vx = cxp - px
         vy = cyp - py
         vz = czp - pz
         d2 = vx * vx + vy * vy + vz * vz
-        ncnt += ((sel[j] > 0) & (d2 < T2)).astype(jnp.float32)
+        m = (sel[j] > 0) & (d2 < T2)
+        r = jnp.sqrt(d2 * iT2)
+        s = jnp.maximum(1.0 - r, 0.0)
+        vc = vx * cx_ + vy * cy_ + vz * cz_
+        f0 += jnp.where(m, 20.0 * (s ** 3) * iT2 * vc, 0.0)
+        ncnt += m.astype(jnp.float32)
 
     # ---- ladder: march from t0 in sign(f0) direction until the sign flips
     # (frag:153-231).  Each pixel marches only its OWN direction (the XLA
@@ -310,7 +317,6 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
     # iterations instead of 25 (the surface is near t0 = the nearest
     # neighbor's ray projection).  Exact same results as the full ladder.
     # Found flags as f32 — Mosaic cannot lower boolean select_n (i8->i1).
-    f0 = f_at(t0)
     enough = (n_nb > KMIN) & (ncnt > KMIN)
     go_back = f0 > 0
     sgn = jnp.where(go_back, -1.0, 1.0)       # march toward the camera if f0>0
@@ -320,17 +326,24 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
 
     if G_OFFS is not None:
         # geometric ladder (raycast.ladder_offsets): a short STATIC tap
-        # list, unrolled — no while_loop, so one never-bracketing straggler
-        # pixel cannot force the whole (BH, W) block through all 25
-        # iterations.  Bracket = [previous tap, hitting tap] directionally.
+        # list — no while_loop, so one never-bracketing straggler pixel
+        # cannot force the whole (BH, W) block through all 25 iterations.
+        # All |G_OFFS| ladder points are evaluated in ONE batched pass over
+        # the tap stacks (each tap's VMEM slices are touched once instead of
+        # |G_OFFS| times); the first-crossing select over the precomputed f
+        # values is cheap elementwise work.  Bracket = [previous tap,
+        # hitting tap] directionally.
+        ts_all = jnp.stack(
+            [t0 + sgn * (off * STEP) for off in G_OFFS])     # (G, BH, W)
+        fs_all = f_at(ts_all)
         fnd = zero
         t_lo = big
         t_hi = big
         prev = 0.0
-        for off in G_OFFS:
-            t_i = t0 + sgn * (off * STEP)
+        for gi, off in enumerate(G_OFFS):
+            t_i = ts_all[gi]
             t_p = t0 + sgn * (prev * STEP)
-            hit = (f_at(t_i) * sgn > 0) & (fnd < 0.5)   # sign flipped vs f0
+            hit = (fs_all[gi] * sgn > 0) & (fnd < 0.5)  # sign flipped vs f0
             t_lo = jnp.where(hit, jnp.where(go_back, t_i, t_p), t_lo)
             t_hi = jnp.where(hit, jnp.where(go_back, t_p, t_i), t_hi)
             fnd = jnp.where(hit, 1.0, fnd)
@@ -357,14 +370,33 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
         t_lo = jnp.where(go_back, t_hit, t_hit - STEP)
         t_hi = jnp.where(go_back, t_hit + STEP, t_hit)
 
-    # ---- bisection (frag:236-270) ----
-    def bis(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        fm = f_at(mid)
-        return jnp.where(fm < 0, mid, lo), jnp.where(fm < 0, hi, mid)
+    # ---- root refinement (frag:236-270): sequential bisection, or the
+    # batched k-section variant (KSEC_B interior points per pass in one
+    # batched HRBF evaluation — fewer passes over the tap stacks) ----
+    if KSEC_B > 1:
+        # pass loop ROLLED (fori): the unrolled-tap f_at body appears once
+        # in the kernel — unrolling the passes too stalls Mosaic (>18 min)
+        def ksec(_, carry):
+            lo, hi = carry
+            wdt = (hi - lo) * (1.0 / (KSEC_B + 1.0))
+            ts = jnp.stack(
+                [lo + wdt * float(k) for k in range(1, KSEC_B + 1)])
+            fs = f_at(ts)                                  # (B, BH, W)
+            # invariant f(t_lo) < 0 <= f(t_hi): crossing lies after the
+            # last negative interior point
+            neg = jnp.sum((fs < 0).astype(jnp.float32), axis=0)
+            lo = lo + neg * wdt
+            return lo, lo + wdt
 
-    t_lo, t_hi = jax.lax.fori_loop(0, BIS, bis, (t_lo, t_hi))
+        t_lo, t_hi = jax.lax.fori_loop(0, KSEC_P, ksec, (t_lo, t_hi))
+    else:
+        def bis(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            fm = f_at(mid)
+            return jnp.where(fm < 0, mid, lo), jnp.where(fm < 0, hi, mid)
+
+        t_lo, t_hi = jax.lax.fori_loop(0, BIS, bis, (t_lo, t_hi))
     t_surf = 0.5 * (t_lo + t_hi)
     sx, sy, sz = t_surf * rx, t_surf * ry, t_surf * rz
 
@@ -422,9 +454,10 @@ def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
     acf = jnp.moveaxis(jnp.pad(attr9, [(R, R), (R, R), (0, 0)]), -1, 0)
     blocks = jnp.stack([_expand_rows(acf[c], BH, R) for c in range(9)], axis=1)
     nb = blocks.shape[0]
-    from .raycast import ladder_offsets
+    from .raycast import bisection_plan, ladder_offsets
 
     g_steps, bis_iters = ladder_offsets(cfg)
+    ksec_b, ksec_p = bisection_plan(cfg)
     kern = functools.partial(
         _raycast_kernel, R=R, W=w, BH=BH,
         K=cfg.predict_max_neighbors, KMIN=cfg.predict_min_neighbors,
@@ -433,7 +466,8 @@ def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
         BIS=bis_iters,
         FX=intr.fx, FY=intr.fy, CX=intr.cx, CY=intr.cy,
         TAPSTACK=tapstack,
-        G_OFFS=tuple(g_steps) if cfg.raycast_geometric_ladder else None)
+        G_OFFS=tuple(g_steps) if cfg.raycast_geometric_ladder else None,
+        KSEC_B=ksec_b, KSEC_P=(ksec_p if ksec_b > 1 else 0))
     out = pl.pallas_call(
         kern,
         grid=(nb,),

@@ -103,18 +103,44 @@ def surfel_radius(z: jnp.ndarray, n_z: jnp.ndarray, intr: CameraIntrinsics) -> j
 def normal_pca(vertex_f: jnp.ndarray, cfg: SLAMConfig) -> jnp.ndarray:
     """PCA normal estimation over a 7x7 window (geometry.glsl:190-244):
     neighbors gated by z>0.3 and |dz|<0.05, need >=8 points, smallest
-    covariance eigenvector, flipped to n_z > 0."""
+    covariance eigenvector, flipped to n_z > 0.
+
+    Shifted-window moment accumulation in CENTER-RELATIVE coordinates
+    (q = p_nb - p_center): per offset one padded slice adds (w, q, q q^T)
+    into 1+3+6 image-sized accumulators; cov = E[q q^T] - E[q] E[q]^T is
+    translation-invariant so this equals the centered patch-stack einsum,
+    and q's small magnitude keeps the f32 moment subtraction
+    cancellation-safe (raw world coordinates would lose ~6 digits).  No
+    (H, W, 49, 3) patch tables hit HBM."""
     R = 3  # winMultiply = 3.0 in depth_vertex_normal_radius.frag:35
-    pts = extract_patches(vertex_f, R)  # (H, W, K, 3)
+    h, w_ = vertex_f.shape[:2]
+    D = 2 * R + 1
+    vp = jnp.pad(vertex_f, [(R, R), (R, R), (0, 0)])
     z = vertex_f[..., 2]
-    zn = pts[..., 2]
-    valid = (zn > cfg.depth_min) & (jnp.abs(zn - z[..., None]) < 0.05)
-    cnt = jnp.sum(valid, axis=-1)
-    w = valid.astype(vertex_f.dtype)[..., None]
-    denom = jnp.maximum(cnt, 1)[..., None].astype(vertex_f.dtype)
-    mean = jnp.sum(pts * w, axis=-2) / denom
-    centered = (pts - mean[..., None, :]) * w
-    cov = jnp.einsum("...ki,...kj->...ij", centered, centered) / denom[..., None]
+    cnt = jnp.zeros((h, w_), jnp.int32)
+    s1 = jnp.zeros((h, w_, 3), vertex_f.dtype)       # sum q
+    s2 = jnp.zeros((h, w_, 6), vertex_f.dtype)       # sum qq^T (sym)
+    for dy in range(D):
+        for dx in range(D):
+            nb = jax.lax.dynamic_slice(vp, (dy, dx, 0), (h, w_, 3))
+            zn = nb[..., 2]
+            valid = (zn > cfg.depth_min) & (jnp.abs(zn - z) < 0.05)
+            q = jnp.where(valid[..., None], nb - vertex_f, 0.0)
+            cnt += valid.astype(jnp.int32)
+            s1 += q
+            q0, q1, q2 = q[..., 0], q[..., 1], q[..., 2]
+            s2 += jnp.stack([q0 * q0, q0 * q1, q0 * q2,
+                             q1 * q1, q1 * q2, q2 * q2], axis=-1)
+    denom = jnp.maximum(cnt, 1).astype(vertex_f.dtype)
+    mean = s1 / denom[..., None]
+    m0, m1, m2 = mean[..., 0], mean[..., 1], mean[..., 2]
+    e2 = s2 / denom[..., None]
+    cov6 = e2 - jnp.stack([m0 * m0, m0 * m1, m0 * m2,
+                           m1 * m1, m1 * m2, m2 * m2], axis=-1)
+    row0 = jnp.stack([cov6[..., 0], cov6[..., 1], cov6[..., 2]], axis=-1)
+    row1 = jnp.stack([cov6[..., 1], cov6[..., 3], cov6[..., 4]], axis=-1)
+    row2 = jnp.stack([cov6[..., 2], cov6[..., 4], cov6[..., 5]], axis=-1)
+    cov = jnp.stack([row0, row1, row2], axis=-2)
     n = _smallest_eigvec_3x3(cov)
     n = n * jnp.where(n[..., 2:3] < 0, -1.0, 1.0)
     ok = (cnt >= 8) & (z > cfg.depth_min)
@@ -203,61 +229,58 @@ def curvature_gradient(pre: VertexNormalRadius, intr: CameraIntrinsics,
                        cfg: SLAMConfig, chunk: int = 16384) -> CurvatureResult:
     """The HRBF curvature/gradient pass (depth_curvature_gradient.frag:28-142).
 
-    Per pixel: gather the (2*curv_window+1)^2 neighborhood of the filtered
-    vertex map, gate by |dz|<0.10 / z>0.3 / |n|>0.8, require >15 supports,
-    evaluate the HRBF gradient + Hessian at the centre vertex and convert to
-    principal curvatures via the Monge-patch fundamental forms.
+    Per pixel: the (2*curv_window+1)^2 neighborhood of the filtered vertex
+    map, gated by |dz|<0.10 / z>0.3 / |n|>0.8, >15 supports required; HRBF
+    gradient + Hessian at the centre vertex -> principal curvatures via the
+    Monge-patch fundamental forms.
 
-    Computation is chunked over pixels to bound the (pixels, K, 3, 3, 3)
-    intermediates (the GLSL equivalent touches the same data through the
-    texture cache).
-    """
+    Formulated as a shifted-window accumulation: per window offset, slice
+    the padded maps and add the neighbor's direct (∇f, ∇²f) contribution
+    (hrbf.grad_hess_direct) into 1+3+6 image-sized accumulators — no
+    (P, 49, 3) patch tables and no (P, 49, 3, 3[,3]) phi-derivative
+    intermediates ever hit HBM (the previous einsum formulation streamed
+    ~2 GB per frame and measured ~12 ms/frame on the chip)."""
+    del chunk  # accumulators are image-sized; no pixel chunking needed
     R = cfg.curv_window
     v = pre.vertex_filtered
     n = pre.normal
     h, w = v.shape[:2]
-    k = (2 * R + 1) ** 2
-
-    nb_v = extract_patches(v, R).reshape(h * w, k, 3)
-    nb_n = extract_patches(n, R).reshape(h * w, k, 3)
-    nb_r = extract_patches(pre.radius, R).reshape(h * w, k)
     vc = v.reshape(h * w, 3)
     nc = n.reshape(h * w, 3)
 
-    nb_mask = (
-        (jnp.abs(nb_v[..., 2] - vc[..., 2:3]) < 0.10)
-        & (nb_v[..., 2] > cfg.depth_min)
-        & (jnp.linalg.norm(nb_n, axis=-1) > 0.8)
-    )
+    D = 2 * R + 1
+    vp = jnp.pad(v, [(R, R), (R, R), (0, 0)])
+    np_ = jnp.pad(n, [(R, R), (R, R), (0, 0)])
+    rp = jnp.pad(pre.radius, [(R, R), (R, R)])
 
+    z_c = v[..., 2]
+    grad = jnp.zeros((h, w, 3), v.dtype)
+    h6 = jnp.zeros((h, w, 6), v.dtype)
+    cnt = jnp.zeros((h, w), jnp.int32)
+    for dy in range(D):
+        for dx in range(D):
+            nb_v = jax.lax.dynamic_slice(vp, (dy, dx, 0), (h, w, 3))
+            nb_n = jax.lax.dynamic_slice(np_, (dy, dx, 0), (h, w, 3))
+            nb_r = jax.lax.dynamic_slice(rp, (dy, dx), (h, w))
+            mask = (
+                (jnp.abs(nb_v[..., 2] - z_c) < 0.10)
+                & (nb_v[..., 2] > cfg.depth_min)
+                & (jnp.sum(nb_n * nb_n, axis=-1) > 0.64)
+            )
+            dv = v - nb_v
+            d2 = jnp.sum(dv * dv, axis=-1)
+            g_c, h_c = hrbf.grad_hess_direct(dv, d2, nb_n, nb_r, mask)
+            grad += g_c
+            h6 += h_c
+            cnt += mask.astype(jnp.int32)
+
+    grad = grad.reshape(h * w, 3)
+    H = hrbf.hess_from_h6(h6.reshape(h * w, 6))
+    k1, k2, d1, d2, kvalid = hrbf.principal_curvatures(grad, H)
+    gmag = jnp.abs(jnp.sum(grad * nc, axis=-1))
+    gn = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-20)
     center_ok = (vc[..., 2] > cfg.depth_min) & (jnp.linalg.norm(nc, axis=-1) > 0.5)
-
-    def block(args):
-        bvc, bnc, bnb_v, bnb_n, bnb_r, bmask = args
-        cnt = jnp.sum(bmask, axis=-1)
-        grad = hrbf.hrbf_gradient(bvc, bnb_v, bnb_n, bnb_r, bmask)
-        H = hrbf.hrbf_hessian(bvc, bnb_v, bnb_n, bnb_r, bmask)
-        k1, k2, d1, d2, kvalid = hrbf.principal_curvatures(grad, H)
-        gmag = jnp.abs(jnp.sum(grad * bnc, axis=-1))
-        gn = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-20)
-        enough = cnt > 15
-        return k1, k2, d1, d2, gmag, gn, enough & kvalid
-
-    npix = h * w
-    chunk = min(chunk, npix)
-    pad = (-npix) % chunk
-    def padded(x):
-        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)).reshape(
-            (npix + pad) // chunk, chunk, *x.shape[1:]
-        )
-
-    outs = jax.lax.map(
-        block,
-        (padded(vc), padded(nc), padded(nb_v), padded(nb_n), padded(nb_r), padded(nb_mask)),
-    )
-    k1, k2, d1, d2, gmag, gn, ok = [o.reshape(-1, *o.shape[2:])[:npix] for o in outs]
-
-    ok = ok & center_ok
+    ok = (cnt.reshape(h * w) > 15) & kvalid & center_ok
     sent = jnp.float32(1000.0)
     k1 = jnp.where(ok, k1, sent).reshape(h, w)
     k2 = jnp.where(ok, k2, sent).reshape(h, w)

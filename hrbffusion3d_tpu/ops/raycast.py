@@ -49,6 +49,20 @@ def ladder_offsets(cfg: SLAMConfig) -> tuple[list[int], int]:
     return g, cfg.raycast_bisection_iters + 3
 
 
+def bisection_plan(cfg: SLAMConfig) -> tuple[int, int]:
+    """(points_per_pass, n_passes) of the root refinement.  Sequential
+    bisection = (1, iters); with ``raycast_bisection_batch = B > 1`` the
+    k-section variant evaluates B interior points per pass and needs
+    ceil(iters / log2(B+1)) passes for at least the same bracket shrink."""
+    import math
+
+    _, iters = ladder_offsets(cfg)
+    B = cfg.raycast_bisection_batch
+    if B <= 1:
+        return 1, iters
+    return B, math.ceil(iters / math.log2(B + 1))
+
+
 def _ring_offsets(radius: int):
     """Window offsets sorted by ring (Chebyshev distance), matching the
     frag's ring-by-ring neighbor collection order."""
@@ -75,12 +89,18 @@ class Prediction(NamedTuple):
 
 def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
                  intr: CameraIntrinsics, cfg: SLAMConfig,
-                 chunk: int = 8192, pallas_interpret: bool = False) -> Prediction:
+                 chunk: int = 8192, pallas_interpret: bool = False,
+                 attr_ext: jnp.ndarray | None = None) -> Prediction:
     """Ray-cast the HRBF implicit through the rendered index map.
 
     With ``cfg.use_pallas_raycast`` the ladder/bisection/gradient core runs
     as one fused Pallas kernel with the neighbor window resident in VMEM
     (ops/pallas_kernels.raycast_core); otherwise the XLA formulation below.
+
+    ``attr_ext``: optional precomputed extended attr image for this
+    index_map (slam.step renders ONE extended image after fuse and shares
+    it between clean and prediction — pixels whose surfel clean killed must
+    already be zeroed).
     """
     h, w = intr.height, intr.width
     P = h * w
@@ -99,7 +119,8 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
     D = 2 * R + 1
     perm = jnp.array([(dy + R) * D + (dx + R) for dy, dx in offs], jnp.int32)
 
-    attr_ext = smod.render_attr_image(m, index_map, pose_inv, extended=True)
+    if attr_ext is None:
+        attr_ext = smod.render_attr_image(m, index_map, pose_inv, extended=True)
     attr = attr_ext[..., :smod.ATTR_CHANNELS]
 
     if cfg.use_pallas_raycast or pallas_interpret:
@@ -194,17 +215,34 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
         t_lo = jnp.where(go_back, t_lo_b, t_lo_f)
         t_hi = jnp.where(go_back, t_hi_b, t_hi_f)
 
-        # ---- bisection (frag:236-270) ----
-        def bis(_, carry):
-            lo, hi = carry
-            mid = 0.5 * (lo + hi)
-            pm = mid[:, None] * b_ray
-            fm, _ = hrbf.hrbf_value(pm, b_pos, b_nrm, b_rad, b_ok)
-            lo = jnp.where(fm < 0, mid, lo)
-            hi = jnp.where(fm < 0, hi, mid)
-            return lo, hi
+        # ---- root refinement (frag:236-270): sequential bisection, or the
+        # batched k-section variant (cfg.raycast_bisection_batch) ----
+        ksec_b, ksec_p = bisection_plan(cfg)
+        if ksec_b > 1:
+            fr = jnp.arange(1, ksec_b + 1, dtype=jnp.float32)
+            for _ in range(ksec_p):
+                wdt = (t_hi - t_lo) / (ksec_b + 1.0)
+                mids = t_lo[:, None] + wdt[:, None] * fr[None, :]   # (C, B)
+                pm = mids[..., None] * b_ray[:, None, :]
+                fm, _ = hrbf.hrbf_value(
+                    pm, b_pos[:, None], b_nrm[:, None], b_rad[:, None],
+                    b_ok[:, None])                                   # (C, B)
+                # invariant f(t_lo) < 0 <= f(t_hi): the crossing lies after
+                # the last negative interior point
+                neg = jnp.sum((fm < 0).astype(jnp.float32), axis=-1)
+                t_lo = t_lo + neg * wdt
+                t_hi = t_lo + wdt
+        else:
+            def bis(_, carry):
+                lo, hi = carry
+                mid = 0.5 * (lo + hi)
+                pm = mid[:, None] * b_ray
+                fm, _ = hrbf.hrbf_value(pm, b_pos, b_nrm, b_rad, b_ok)
+                lo = jnp.where(fm < 0, mid, lo)
+                hi = jnp.where(fm < 0, hi, mid)
+                return lo, hi
 
-        t_lo, t_hi = jax.lax.fori_loop(0, bis_iters, bis, (t_lo, t_hi))
+            t_lo, t_hi = jax.lax.fori_loop(0, bis_iters, bis, (t_lo, t_hi))
         t_surf = 0.5 * (t_lo + t_hi)
         p_surf = t_surf[:, None] * b_ray
         grad = hrbf.hrbf_gradient(p_surf, b_pos, b_nrm, b_rad, b_ok)

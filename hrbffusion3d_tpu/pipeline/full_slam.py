@@ -95,7 +95,9 @@ class FullSLAM:
                 return
             self._inflight -= 1
             self.state = self.state._replace(
-                active_submaps=jnp.asarray(mask))
+                active_submaps=jnp.asarray(mask),
+                map=sm.refresh_active_channel(self.state.map,
+                                              jnp.asarray(mask)))
             if deltas is not None:
                 self._apply_correction(deltas, kf_id)
                 self.async_corrections += 1
@@ -176,10 +178,14 @@ class FullSLAM:
                 kf_id = self.backend.insert_keyframe(intensity, depth_f, pose, time)
                 # refresh the active (covisible) keyframe set that masks
                 # dense prediction/fusion/cleaning (HRBFFusion.cpp:1160-1170)
+                mask = jnp.asarray(
+                    self.backend.active_submap_mask(kf_id, cfg.max_submaps))
                 self.state = self.state._replace(
                     submap_idx=jnp.int32(kf_id),
-                    active_submaps=jnp.asarray(
-                        self.backend.active_submap_mask(kf_id, cfg.max_submaps)),
+                    active_submaps=mask,
+                    # push the new covisible set into the cached per-surfel
+                    # activity channel (per-frame steps read the cache)
+                    map=sm.refresh_active_channel(self.state.map, mask),
                 )
                 deltas = self.backend.local_ba()
                 if deltas is not None:

@@ -167,36 +167,32 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
     # ---- FUSION (l.1192-1227) ----
     # ONE z-buffer render per frame: fuse updates the index map in place
     # (new surfels at their own pixels), clean translates it through the
-    # compaction remap for prediction
-    # ONE per-surfel submap-activity gather per frame: fuse only appends a
-    # contiguous block whose submap is the CURRENT one (always active), and
-    # merges keep the old submap — so the post-fuse mask is the pre-fuse
-    # gather with the appended block overwritten (a full-capacity 1-ch
-    # gather costs ~4 ms; the slice update is free)
-    n_cap = state.map.data.shape[0]
-    sub_act = state.active_submaps[
-        jnp.clip(state.map.submap, 0, state.active_submaps.shape[0] - 1)]
-    active = state.map.valid & sub_act
-    idx = sm.render_index(state.map, pose_inv, intr, active=active)
+    # compaction remap for prediction.
+    # ZERO per-surfel submap-activity gathers per frame: the activity flag
+    # is cached in the map's ACT channel (see surfel_map.py header) —
+    # appends carry the current submap's activity, merges keep the old
+    # flag, and the host refreshes the channel when the covisible set
+    # changes (FullSLAM keyframe insert).
+    act_cur = state.active_submaps[
+        jnp.clip(state.submap_idx, 0, state.active_submaps.shape[0] - 1)]
+    idx = sm.render_index(state.map, pose_inv, intr, active=state.map.active)
     m, idx2 = sm.fuse(state.map, meas, pose, idx, intr, cfg, time=time,
-                      submap_idx=state.submap_idx)
-    S = min(cfg.new_surfels_capacity, (intr.height // 2) * (intr.width // 2),
-            n_cap)
-    start = jnp.clip(state.map.count, 0, n_cap - S)
-    cur_act = jnp.broadcast_to(
-        state.active_submaps[jnp.clip(state.submap_idx, 0,
-                                      state.active_submaps.shape[0] - 1)],
-        (S,))
-    sub_act2 = jax.lax.dynamic_update_slice(sub_act, cur_act, (start,))
-    m, remap = sm.clean_with_remap(
-        m, pose, idx2, intr, cfg, time=time,
-        active=m.valid & sub_act2)
+                      submap_idx=state.submap_idx, act=act_cur)
+    # ONE extended attr render after fuse, shared by clean and prediction:
+    # clean reads the base channels; prediction reads the same image with
+    # clean-killed pixels masked out (surviving surfels' attribute VALUES
+    # are untouched by clean — compaction only relocates rows — so this is
+    # identical to re-rendering after clean)
+    attr_ext = sm.render_attr_image(m, idx2, pose_inv, extended=True)
+    m, remap = sm.clean_with_remap(m, pose, idx2, intr, cfg, time=time,
+                                   attr=attr_ext[..., :sm.ATTR_CHANNELS])
 
     # ---- PREDICTION (l.1233, predict() 1244-1260) ----
     # translate the post-fuse render through the compaction instead of a
     # third full z-buffer render (IndexMap::predictIndices); fresh unstable
     # surfels are below the prediction confidence threshold either way
     idx3 = sm.remap_index_map(idx2, remap)
+    pred_attr = jnp.where((idx3 >= 0)[..., None], attr_ext, 0.0)
     if cfg.raycast_period > 1:
         # HRBF raycast every N-th frame, surfel-splat prediction in between
         # (combinedPredict alternative path); lax.cond runs only the taken
@@ -204,12 +200,14 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
         pred = jax.lax.cond(
             time % cfg.raycast_period == 0,
             lambda: raycast.predict_hrbf(m, pose_inv, idx3, intr, cfg,
-                                         chunk=cfg.raycast_chunk),
+                                         chunk=cfg.raycast_chunk,
+                                         attr_ext=pred_attr),
             lambda: raycast.predict_splat(m, pose_inv, idx3, intr, cfg),
         )
     else:
         pred = raycast.predict_hrbf(m, pose_inv, idx3, intr, cfg,
-                                    chunk=cfg.raycast_chunk)
+                                    chunk=cfg.raycast_chunk,
+                                    attr_ext=pred_attr)
     filled = raycast.fill_in(
         pred, pre.vertex_filtered, pre.normal, pre.radius, frame.rgb,
         conf, curv.k1, curv.k2, cfg,

@@ -245,11 +245,20 @@ def track(
         static_valid = icp_ops.rgb_static_valid(
             inp.next_intensity[lvl], d_idx, d_idy, inp.next_depth[lvl], min_scale)
 
-        def body(_, carry, lvl=lvl, li=li, K=K, Kinv=Kinv, d_idx=d_idx,
+        # fixed-correspondence iterations: carry the association rows and
+        # re-gather only every reassoc-th iteration (cfg doc in config.py)
+        reassoc = (cfg.tracking_reassoc_period
+                   if (use_joint and cfg.tracking_reassoc_period > 1) else 1)
+
+        def body(it, carry, lvl=lvl, li=li, K=K, Kinv=Kinv, d_idx=d_idx,
                  d_idy=d_idy, model_rows=model_rows, last_rows=last_rows,
                  static_valid=static_valid):
+            assoc = None
             if use_sparse:
                 result_rt, lastA, lastb, st, lam = carry
+            elif reassoc > 1:
+                result_rt, lastA, lastb, st, assoc = carry
+                lam = None
             else:
                 result_rt, lastA, lastb, st = carry
                 lam = None
@@ -267,12 +276,14 @@ def track(
             b = jnp.zeros((6,), jnp.float32)
 
             if use_joint:
-                icp_res, corres = icp_ops.joint_step(
+                icp_res, corres, assoc = icp_ops.joint_step(
                     R_curr, t_curr, prev_R_inv, prev_t,
                     inp.next_vmap[lvl], inp.next_nmap[lvl],
                     inp.next_depth[lvl],
                     model_rows, inp.next_intensity[lvl], static_valid,
-                    li, cfg)
+                    li, cfg,
+                    assoc_prev=assoc if reassoc > 1 else None,
+                    do_gather=(it % reassoc == 0) if reassoc > 1 else None)
                 sigma_val = jnp.where(
                     rgb_only, jnp.float32(-1.0),
                     jnp.sqrt(jnp.maximum(corres.count, 1.0)))
@@ -343,16 +354,21 @@ def track(
                     prev_R_inv, prev_t, inp.next_vmap[lvl],
                     cfg.sparse_icp_mu)
                 return (result_rt, A, b, st, lam), dx
+            if reassoc > 1:
+                return (result_rt, A, b, st, assoc), dx
             return (result_rt, A, b, st), dx
 
         if use_sparse:
             # lambdaMap zeroed per level (RGBDOdometry.cpp:965-978)
             lam0 = jnp.zeros((li.height * li.width, 3), jnp.float32)
             carry = (result_rt, lastA, lastb, stats, lam0)
+        elif reassoc > 1:
+            assoc0 = jnp.zeros((li.height * li.width, 9), jnp.float32)
+            carry = (result_rt, lastA, lastb, stats, assoc0)
         else:
             carry = (result_rt, lastA, lastb, stats)
         carry = _gn_loop(body, iters[lvl], carry, cfg.tracking_converge_eps)
-        if use_sparse:
+        if use_sparse or reassoc > 1:
             result_rt, lastA, lastb, stats, _ = carry
         else:
             result_rt, lastA, lastb, stats = carry

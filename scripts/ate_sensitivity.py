@@ -36,6 +36,10 @@ VARIANTS = {
                         "raycast_bisection_iters": 6},
     "rayperiod2": {"raycast_period": 2},
     "rayperiod4": {"raycast_period": 4},
+    "reassoc2": {"tracking_reassoc_period": 2},
+    "reassoc3": {"tracking_reassoc_period": 3},
+    "reassoc2+bisect6": {"tracking_reassoc_period": 2,
+                         "raycast_bisection_iters": 6},
 }
 if os.environ.get("ATE_VARIANTS"):
     keep = os.environ["ATE_VARIANTS"].split(",")

@@ -95,8 +95,7 @@ def make_step(stages: str):
             sink = sink + jnp.sum(idx).astype(jnp.float32) + m.data[0, 0]
         if "clean" in stages:
             m, remap = sm.clean_with_remap(
-                m, pose, idx, intr, cfg, time=time_,
-                active=sm.active_from_submaps(m, state.active_submaps))
+                m, pose, idx, intr, cfg, time=time_)
             idx = sm.remap_index_map(idx, remap)
             sink = sink + jnp.sum(idx).astype(jnp.float32) + m.data[0, 0]
         if "predict" in stages:

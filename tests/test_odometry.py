@@ -225,7 +225,7 @@ def test_joint_fast_path_matches_separate():
                  np.float32)
     krkinv = jnp.asarray(K @ np.linalg.inv(K))
     corres_sep = icp_ops.rgb_residual(krkinv, zero3, d1, i1, last_rows, sv, CFG)
-    res_j, corres_j = icp_ops.joint_step(
+    res_j, corres_j, _assoc = icp_ops.joint_step(
         eye3, zero3, eye3, zero3, pre1.vertex_filtered, pre1.normal,
         d1, joint_rows, i1, sv, INTR, CFG)
 
@@ -275,3 +275,34 @@ def test_pyramid_gather_matches_slice():
     np.testing.assert_allclose(
         pyramid.resize_scalar_map(s, gather=True),
         pyramid.resize_scalar_map(s, gather=False), rtol=1e-6, atol=1e-6)
+
+
+def test_reassoc_period_tracks():
+    """Fixed-correspondence iterations (tracking_reassoc_period > 1) still
+    converge: the association gather is skipped on off-iterations while
+    residuals/gates re-evaluate under the updated pose."""
+    import dataclasses
+
+    pose0 = np.eye(4, dtype=np.float32)
+    xi = jnp.array([0.008, 0.004, -0.006, 0.01, -0.008, 0.012])
+    pose1 = np.asarray(lie.se3_exp(xi)) @ pose0
+    for period in (2, 3):
+        cfg = dataclasses.replace(CFG, tracking_reassoc_period=period)
+        est, _ = _track_pair(pose0, pose1, cfg=cfg)
+        terr, rerr = _pose_err(est, pose1)
+        assert terr < 0.007, (period, terr)
+        assert rerr < 0.5, (period, rerr)
+
+
+def test_reassoc_period_matches_parity_near_convergence():
+    """With a tiny motion the frozen-association path lands on (nearly) the
+    same pose as the every-iteration re-association parity path."""
+    import dataclasses
+
+    pose0 = np.eye(4, dtype=np.float32)
+    pose1 = pose0.copy()
+    pose1[:3, 3] = [0.004, -0.002, 0.003]
+    est1, _ = _track_pair(pose0, pose1, cfg=CFG)
+    est2, _ = _track_pair(
+        pose0, pose1, cfg=dataclasses.replace(CFG, tracking_reassoc_period=2))
+    assert np.linalg.norm(est1[:3, 3] - est2[:3, 3]) < 5e-4

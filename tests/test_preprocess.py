@@ -124,3 +124,78 @@ def test_confidence_map_radial():
     assert conf[36, 48] > conf[0, 0]
     assert conf.max() <= 1.0 + 1e-6
     np.testing.assert_allclose(conf[36, 48], 1.0, atol=0.01)
+
+
+def test_curvature_accumulation_matches_einsum():
+    """The shifted-accumulation curvature pass (hrbf.grad_hess_direct, no
+    rank-3 intermediates) equals the patch-stack einsum formulation."""
+    from hrbffusion3d_tpu.ops import hrbf
+    from hrbffusion3d_tpu.ops.patches import extract_patches
+
+    depth, rgb = _frame()
+    pre = preprocess.vertex_normal_radius(depth, depth, SMALL, CFG)
+    cur = preprocess.curvature_gradient(pre, SMALL, CFG, chunk=2048)
+
+    # reference: materialised patch tables + phi-tensor einsums
+    R = CFG.curv_window
+    v, n = pre.vertex_filtered, pre.normal
+    h, w = v.shape[:2]
+    k = (2 * R + 1) ** 2
+    nb_v = extract_patches(v, R).reshape(h * w, k, 3)
+    nb_n = extract_patches(n, R).reshape(h * w, k, 3)
+    nb_r = extract_patches(pre.radius, R).reshape(h * w, k)
+    vc = v.reshape(h * w, 3)
+    nc = n.reshape(h * w, 3)
+    nb_mask = (
+        (jnp.abs(nb_v[..., 2] - vc[..., 2:3]) < 0.10)
+        & (nb_v[..., 2] > CFG.depth_min)
+        & (jnp.linalg.norm(nb_n, axis=-1) > 0.8)
+    )
+    grad = hrbf.hrbf_gradient(vc, nb_v, nb_n, nb_r, nb_mask)
+    H = hrbf.hrbf_hessian(vc, nb_v, nb_n, nb_r, nb_mask)
+    k1r, k2r, d1r, d2r, kvalid = hrbf.principal_curvatures(grad, H)
+    cnt = jnp.sum(nb_mask, axis=-1)
+    ok_ref = np.asarray(
+        (cnt > 15) & kvalid
+        & (vc[..., 2] > CFG.depth_min) & (jnp.linalg.norm(nc, axis=-1) > 0.5)
+    ).reshape(h, w)
+
+    ok = np.asarray(cur.valid)
+    assert (ok == ok_ref).mean() > 0.999, (ok != ok_ref).mean()
+    both = ok & ok_ref
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(np.asarray(cur.k1)[both],
+                               np.asarray(k1r).reshape(h, w)[both],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(cur.k2)[both],
+                               np.asarray(k2r).reshape(h, w)[both],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_normal_pca_accumulation_matches_patches():
+    """Shifted-moment normal_pca == the centered patch-stack formulation."""
+    from hrbffusion3d_tpu.ops.patches import extract_patches
+
+    depth, rgb = _frame()
+    v = camera.unproject(depth, SMALL)
+    n_new = np.asarray(preprocess.normal_pca(v, CFG))
+
+    pts = extract_patches(v, 3)
+    z = v[..., 2]
+    zn = pts[..., 2]
+    valid = (zn > CFG.depth_min) & (jnp.abs(zn - z[..., None]) < 0.05)
+    cnt = jnp.sum(valid, axis=-1)
+    w = valid.astype(v.dtype)[..., None]
+    denom = jnp.maximum(cnt, 1)[..., None].astype(v.dtype)
+    mean = jnp.sum(pts * w, axis=-2) / denom
+    centered = (pts - mean[..., None, :]) * w
+    cov = jnp.einsum("...ki,...kj->...ij", centered, centered) / denom[..., None]
+    n = preprocess._smallest_eigvec_3x3(cov)
+    n = n * jnp.where(n[..., 2:3] < 0, -1.0, 1.0)
+    ok = (cnt >= 8) & (z > CFG.depth_min)
+    n_ref = np.asarray(jnp.where(ok[..., None], n, 0.0))
+
+    okm = (np.linalg.norm(n_new, axis=-1) > 0.5) & (np.linalg.norm(n_ref, axis=-1) > 0.5)
+    assert okm.mean() > 0.8
+    dots = np.sum(n_new * n_ref, axis=-1)[okm]
+    assert (dots > 0.9999).mean() > 0.995, (dots > 0.9999).mean()

@@ -116,3 +116,47 @@ def test_fill_in_composites_holes():
     pcov = np.asarray(pred.found).mean()
     assert cov >= pcov
     assert cov > 0.8
+
+
+def test_ksection_matches_bisection():
+    """The batched k-section refinement (raycast_bisection_batch) reaches at
+    least the sequential bisection's bracket width: same found set, and
+    sub-half-millimetre vertex agreement on the shared pixels."""
+    import dataclasses
+
+    pose = np.eye(4, dtype=np.float32)
+    m, depth, rgb = _map_from_frame(pose)
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    cfg_k = dataclasses.replace(CFG, raycast_bisection_batch=7)
+    pred_s = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, CFG, chunk=4096)
+    pred_k = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, cfg_k, chunk=4096)
+    fs = np.asarray(pred_s.found)
+    fk = np.asarray(pred_k.found)
+    # found depends only on the ladder bracket, not the refinement
+    assert (fs == fk).all()
+    both = fs & fk
+    dv = np.linalg.norm(
+        np.asarray(pred_s.vertex) - np.asarray(pred_k.vertex), axis=-1)[both]
+    # bracket widths: ladder step 4mm / 2^9 vs / 8^3 — both < 8 um; the
+    # midpoints differ by at most the wider bracket
+    assert np.max(dv) < 5e-4, np.max(dv)
+
+
+def test_ksection_pallas_matches_xla():
+    """Pallas kernel with k-section == XLA path with k-section (interpret)."""
+    import dataclasses
+
+    pose = np.eye(4, dtype=np.float32)
+    m, depth, rgb = _map_from_frame(pose)
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    cfg_k = dataclasses.replace(CFG, raycast_bisection_batch=7)
+    ref = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, cfg_k, chunk=4096)
+    out = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, cfg_k,
+                               pallas_interpret=True)
+    rf = np.asarray(ref.found)
+    of = np.asarray(out.found)
+    assert (rf == of).mean() > 0.995, (rf != of).mean()
+    both = rf & of
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(np.asarray(out.vertex)[both],
+                               np.asarray(ref.vertex)[both], atol=1e-4)
