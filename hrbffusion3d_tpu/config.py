@@ -76,9 +76,25 @@ class SLAMConfig:
     icp_use_correspondence_search: bool = False
     icp_search_radius: int = 2
     # single shared row gather per GN iteration for the ICP+photometric
-    # joint system (TPU fast path; equivalence-tested vs the separate
-    # formulations in tests/test_odometry.py)
-    tracking_joint_gather: bool = True
+    # joint system (equivalence-tested vs the separate formulations in
+    # tests/test_odometry.py).  With BILINEAR photometric lookups the
+    # joint table is 36-ch/144-B rows and measured SLOWER than the
+    # separate 2x8-ch gathers (row-gather cost grows with row bytes past
+    # ~100 B — ab15: 117 vs 102 ms/frame), so the default is OFF; with
+    # tracking_rgb_nearest the joint table is one 9-ch row and wins big
+    # (94 ms/frame) — the autotuned config enables both
+    tracking_joint_gather: bool = False
+    # nearest-pixel photometric lookups (intensity at the rounded warp) —
+    # the REFERENCE's semantics (reduce.cu fetches lastImage unfiltered at
+    # the rounded coordinate).  Also collapses the association to ONE
+    # 9-channel gather per GN iteration (vs 36-ch joint or 2x8-ch separate
+    # — per-row gather cost grows with row bytes past ~100 B): 117 -> 94
+    # ms/frame (ab15).  Bilinear interpolation (False) looked strictly
+    # better on the 128x96 CPU harness but measured 5x WORSE ATE at the
+    # native 640x480 (scripts/tpu_ate.py: 37.6 vs 7.0 mm on the synth
+    # orbit — interpolation blends intensity across depth edges), so
+    # nearest is both reference parity AND the accurate default
+    tracking_rgb_nearest: bool = True
     icp_use_weighted: bool = True           # registrationICPUseWeightedICP
     icp_curv_weight_lambda: float = 10.0    # registrationICPCurvWeightImpactControl
     rgb_use_gradient_weight: bool = False
@@ -123,6 +139,13 @@ class SLAMConfig:
     # the tap stacks; the fused kernel is pass-bound, not FLOP-bound.
     # 0 = sequential bisection (reference semantics, predict_hrbf.frag:236)
     raycast_bisection_batch: int = 0
+    # false-position (regula falsi) root refinement: N iterations replace
+    # the bisection entirely.  The HRBF field is smooth near the surface so
+    # false position converges superlinearly — 3 iterations from the 4 mm
+    # ladder bracket reach micrometre error where 9 bisections reach ~8 um
+    # — with 3x fewer field evaluations (the fused kernel is
+    # evaluation-FLOP-bound).  0 = bisection (reference semantics)
+    raycast_false_position: int = 0
 
     # -- fusion / cleaning (GlobalStateParam.txt:74-77, copy_unstable.vert) --
     fuse_window_multiplier: int = 2         # fusionMergeWindowMultiplier
@@ -172,6 +195,14 @@ class SLAMConfig:
     # the surfel array only every N-th frame (tombstones in between); the
     # compaction is a full-capacity sort + row gather
     clean_compact_period: int = 1
+    # evaluate the crowd/free-space kill rules (copy_unstable.vert:149-152)
+    # only every N-th frame (1 = reference parity: every frame).  These two
+    # rules are clean's entire gather cost (a full-capacity 9-tap patch
+    # gather, ~7 ms at 512k); the curvature/unstable rules (elementwise)
+    # still run every frame.  Redundancy/free-space violations accumulate
+    # over many frames, so delaying their detection by one frame is
+    # map-hygiene latency, not accuracy
+    clean_crowd_period: int = 1
     # fuse's checkerboard-quarter views as row gathers at the quarter's
     # flat pixel ids instead of stride-2 slices (slices on T(8,128)-tiled
     # tensors pay a layout shuffle per array)

@@ -568,32 +568,53 @@ def clean_mask(m: SurfelMap, pose: jnp.ndarray, index_map: jnp.ndarray,
     if attr is None:
         pose_inv = jnp.eye(4).at[:3, :3].set(pose_inv_R).at[:3, 3].set(pose_inv_t)
         attr = render_attr_image(m, index_map, pose_inv)
-    patch_img = extract_patches(attr, 1).reshape(h * w, 9 * ATTR_CHANNELS)
-    rows9 = patch_img[yi * w + xi].reshape(n, 9, ATTR_CHANNELS)
 
-    taps = [(-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
-            (0, -1, 2), (0, 0, 4), (0, 1, 2),
-            (1, -1, 1), (1, 0, 2), (1, 1, 1)]
-    wgt = jnp.array([t[2] for t in taps], jnp.int32)
-    has = in_view[:, None] & (rows9[..., A_VALID] > 0.5)
-    cpos_z = rows9[..., A_POS][..., 2]
-    cpos_xy = rows9[..., A_POS][..., :2]
-    c_conf = rows9[..., A_CONF]
-    c_init = rows9[..., A_INIT]
-    c_stamp = rows9[..., A_STAMP]
+    def crowd_counts():
+        # the kill rules use 8 of the 12 attr channels (not normal/radius);
+        # gather the narrowed table — a full-capacity gather's cost grows
+        # with row byte-size once rows exceed ~100 B, so 72-ch beats 108-ch
+        KEEP_CH = [0, 1, 2, A_CONF, A_INIT, A_STAMP, A_ACTIVE, A_VALID]
+        C8 = len(KEEP_CH)
+        patch_img = extract_patches(
+            attr[..., jnp.array(KEEP_CH)], 1).reshape(h * w, 9 * C8)
+        rows9 = patch_img[yi * w + xi].reshape(n, 9, C8)
 
-    stable = c_conf > cfg.confidence_threshold
-    behind = cpos_z > lz[:, None]
-    overlap = jnp.linalg.norm(cpos_xy - local[:, None, :2], axis=-1) < \
-        (m.radius * 1.4)[:, None]
-    red = has & (c_init < m.data[:, INIT_TIME][:, None]) & stable & behind & \
-        (cpos_z - lz[:, None] < 0.01) & overlap
-    count = jnp.sum(jnp.where(red, wgt[None, :], 0), axis=1)
+        taps = [(-1, -1, 1), (-1, 0, 2), (-1, 1, 1),
+                (0, -1, 2), (0, 0, 4), (0, 1, 2),
+                (1, -1, 1), (1, 0, 2), (1, 1, 1)]
+        wgt = jnp.array([t[2] for t in taps], jnp.int32)
+        has = in_view[:, None] & (rows9[..., 7] > 0.5)
+        cpos_z = rows9[..., 2]
+        cpos_xy = rows9[..., 0:2]
+        c_conf = rows9[..., 3]
+        c_init = rows9[..., 4]
+        c_stamp = rows9[..., 5]
 
-    act_ok = rows9[..., A_ACTIVE] > 0.5
-    fs = has & (c_stamp == jnp.float32(time)) & stable & behind & \
-        (cpos_z - lz[:, None] > 0.01) & (jnp.abs(local_nz) > 0.85)[:, None] & act_ok
-    zcount = jnp.sum(jnp.where(fs, wgt[None, :], 0), axis=1)
+        stable = c_conf > cfg.confidence_threshold
+        behind = cpos_z > lz[:, None]
+        overlap = jnp.linalg.norm(cpos_xy - local[:, None, :2], axis=-1) < \
+            (m.radius * 1.4)[:, None]
+        red = has & (c_init < m.data[:, INIT_TIME][:, None]) & stable & \
+            behind & (cpos_z - lz[:, None] < 0.01) & overlap
+        count = jnp.sum(jnp.where(red, wgt[None, :], 0), axis=1)
+
+        act_ok = rows9[..., 6] > 0.5
+        fs = has & (c_stamp == jnp.float32(time)) & stable & behind & \
+            (cpos_z - lz[:, None] > 0.01) & \
+            (jnp.abs(local_nz) > 0.85)[:, None] & act_ok
+        zcount = jnp.sum(jnp.where(fs, wgt[None, :], 0), axis=1)
+        return count, zcount
+
+    crowd_period = getattr(cfg, "clean_crowd_period", 1)
+    if crowd_period <= 1:
+        count, zcount = crowd_counts()
+    else:
+        # crowd/free-space rules every N-th frame only (their 9-tap patch
+        # gather is clean's entire cost); off-frames kill nothing by them
+        count, zcount = jax.lax.cond(
+            jnp.asarray(time, jnp.int32) % crowd_period == 0,
+            crowd_counts,
+            lambda: (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32)))
 
     t = cfg.curv_valid_threshold
     k1 = m.data[:, K1]

@@ -138,6 +138,26 @@ def pack_last(last_depth: jnp.ndarray, last_intensity: jnp.ndarray) -> jnp.ndarr
     ], axis=-1)
 
 
+def pack_joint_nearest(vmap_g: jnp.ndarray, nmap_g: jnp.ndarray,
+                       icp_weight: jnp.ndarray, last_depth: jnp.ndarray,
+                       last_intensity: jnp.ndarray) -> jnp.ndarray:
+    """(H*W, 9) rows [v(3) n(3) w d i] — the single-corner joint table.
+
+    With nearest-pixel photometric lookups (cfg.tracking_rgb_nearest — the
+    REFERENCE's semantics: reduce.cu fetches lastImage at the rounded warp)
+    the ICP target, the depth and the intensity all come from the same
+    rounded pixel, so ONE 9-channel gather serves both terms.  Gather cost
+    grows with row bytes beyond ~100 B/row (measured on-chip), so this beats
+    both the 36-ch 2x2-footprint table and the two separate 8-ch tables."""
+    h, w = icp_weight.shape
+    P = h * w
+    return jnp.concatenate([
+        vmap_g.reshape(P, 3), nmap_g.reshape(P, 3),
+        icp_weight.reshape(P, 1), last_depth.reshape(P, 1),
+        last_intensity.reshape(P, 1),
+    ], axis=-1)
+
+
 def pack_joint(vmap_g: jnp.ndarray, nmap_g: jnp.ndarray,
                icp_weight: jnp.ndarray, last_depth: jnp.ndarray,
                last_intensity: jnp.ndarray) -> jnp.ndarray:
@@ -178,6 +198,7 @@ def joint_step(
     intr: CameraIntrinsics, cfg: SLAMConfig,
     assoc_prev: jnp.ndarray | None = None,  # (H*W, 9) carried association
     do_gather: jnp.ndarray | None = None,   # () bool — re-gather this iter?
+    nearest: bool = False,   # joint_rows from pack_joint_nearest (9-ch)
 ):
     """Fused ICP + photometric correspondence pass sharing ONE row gather
     (the default-config fast path; identical math to icp_step(R=0) +
@@ -228,23 +249,34 @@ def joint_step(
     av = v0f - v0.astype(jnp.float32)
 
     # ---- the ONE gather (conditional under fixed-correspondence mode) ----
-    def gather_assoc():
-        flat = v0 * w + u0
-        c = joint_rows[flat]                           # (N, 36)
-        near_u = (au > 0.5)[:, None]
-        near_v = (av > 0.5)[:, None]
-        # branchless corner select (a take_along_axis here would be another
-        # per-element gather — 3 wide selects are pure VPU work); the
-        # per-corner layout is [v(3) n(3) w d i], so sel[:, 7] is already
-        # the nearest-corner depth
-        sel = jnp.where(near_v,
-                        jnp.where(near_u, c[:, 27:36], c[:, 18:27]),
-                        jnp.where(near_u, c[:, 9:18], c[:, 0:9]))
-        # photometric: bilinear intensity over the 2x2 footprint
-        i00, i01, i10, i11 = c[:, 8], c[:, 17], c[:, 26], c[:, 35]
-        i_last = (i00 * (1 - au) * (1 - av) + i01 * au * (1 - av)
-                  + i10 * (1 - au) * av + i11 * au * av)
-        return jnp.concatenate([sel[:, 0:8], i_last[:, None]], axis=-1)
+    if nearest:
+        # single-corner table (pack_joint_nearest): the rounded pixel's
+        # 9-ch row IS the association [vp np wp d0 i_last] — the
+        # reference's nearest-pixel photometric semantics (our bilinear
+        # default is a documented strictly-better-accuracy deviation)
+        def gather_assoc():
+            ui_c = jnp.clip(jnp.round(u0f).astype(jnp.int32), 0, w - 1)
+            vi_c = jnp.clip(jnp.round(v0f).astype(jnp.int32), 0, h - 1)
+            return joint_rows[vi_c * w + ui_c]         # (N, 9)
+
+    else:
+        def gather_assoc():
+            flat = v0 * w + u0
+            c = joint_rows[flat]                       # (N, 36)
+            near_u = (au > 0.5)[:, None]
+            near_v = (av > 0.5)[:, None]
+            # branchless corner select (a take_along_axis here would be
+            # another per-element gather — 3 wide selects are pure VPU
+            # work); the per-corner layout is [v(3) n(3) w d i], so
+            # sel[:, 7] is already the nearest-corner depth
+            sel = jnp.where(near_v,
+                            jnp.where(near_u, c[:, 27:36], c[:, 18:27]),
+                            jnp.where(near_u, c[:, 9:18], c[:, 0:9]))
+            # photometric: bilinear intensity over the 2x2 footprint
+            i00, i01, i10, i11 = c[:, 8], c[:, 17], c[:, 26], c[:, 35]
+            i_last = (i00 * (1 - au) * (1 - av) + i01 * au * (1 - av)
+                      + i10 * (1 - au) * av + i11 * au * av)
+            return jnp.concatenate([sel[:, 0:8], i_last[:, None]], axis=-1)
 
     if assoc_prev is None:
         assoc = gather_assoc()
@@ -492,26 +524,35 @@ def rgb_residual(
     v0f = (d1 * (krkinv[1, 0] * xf + krkinv[1, 1] * yf + krkinv[1, 2]) + kt[1]) / safe_td1
     in_last = (u0f >= 0) & (v0f >= 0) & (u0f <= w - 1) & (v0f <= h - 1)
 
-    u0 = jnp.floor(u0f).astype(jnp.int32)
-    v0 = jnp.floor(v0f).astype(jnp.int32)
-    au = u0f - u0.astype(jnp.float32)
-    av = v0f - v0.astype(jnp.float32)
+    if cfg.tracking_rgb_nearest:
+        # nearest-pixel lookups (reference semantics): the rounded pixel's
+        # corner-00 IS its own (d, i)
+        ui = jnp.clip(jnp.round(u0f).astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(jnp.round(v0f).astype(jnp.int32), 0, h - 1)
+        c = last_rows[vi * w + ui]                   # (N, 8)
+        d0 = c[:, 0]
+        i_last = c[:, 1]
+    else:
+        u0 = jnp.floor(u0f).astype(jnp.int32)
+        v0 = jnp.floor(v0f).astype(jnp.int32)
+        au = u0f - u0.astype(jnp.float32)
+        av = v0f - v0.astype(jnp.float32)
 
-    # ONE row gather fetches the whole 2x2 footprint (pack_last layout)
-    flat = jnp.clip(v0, 0, h - 1) * w + jnp.clip(u0, 0, w - 1)
-    c = last_rows[flat]                              # (N, 8)
-    d00, i00, d01, i01, d10, i10, d11, i11 = (c[:, k] for k in range(8))
+        # ONE row gather fetches the whole 2x2 footprint (pack_last layout)
+        flat = jnp.clip(v0, 0, h - 1) * w + jnp.clip(u0, 0, w - 1)
+        c = last_rows[flat]                          # (N, 8)
+        d00, i00, d01, i01, d10, i10, d11, i11 = (c[:, k] for k in range(8))
 
-    i_last = (i00 * (1 - au) * (1 - av) + i01 * au * (1 - av)
-              + i10 * (1 - au) * av + i11 * au * av)
-    # nearest-corner depth (the reference rounds, reduce.cu:1032)
-    near_u = au > 0.5
-    near_v = av > 0.5
-    d0 = jnp.where(
-        near_v,
-        jnp.where(near_u, d11, d10),
-        jnp.where(near_u, d01, d00),
-    )
+        i_last = (i00 * (1 - au) * (1 - av) + i01 * au * (1 - av)
+                  + i10 * (1 - au) * av + i11 * au * av)
+        # nearest-corner depth (the reference rounds, reduce.cu:1032)
+        near_u = au > 0.5
+        near_v = av > 0.5
+        d0 = jnp.where(
+            near_v,
+            jnp.where(near_u, d11, d10),
+            jnp.where(near_u, d01, d00),
+        )
 
     i_next = next_image.reshape(n_pix)
     depth_ok = (d0 > 0) & (jnp.abs(td1 - d0) <= cfg.max_depth_delta_rgb) & (i_last != 0)

@@ -195,7 +195,7 @@ def _ring_taps(radius: int):
 
 def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
                     STEPS, STEP, BIS, FX, FY, CX, CY, TAPSTACK=True,
-                    G_OFFS=None, KSEC_B=1, KSEC_P=0):
+                    G_OFFS=None, KSEC_B=1, KSEC_P=0, FP=0):
     """Per-block HRBF raycast with the neighbor window in VMEM.
 
     attr channels (channels-first): 0:3 pos | 3:6 nrm | 6 conf | 7 radius
@@ -339,14 +339,23 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
         fnd = zero
         t_lo = big
         t_hi = big
+        f_lo = zero
+        f_hi = zero
+        f_prev = f0
         prev = 0.0
         for gi, off in enumerate(G_OFFS):
             t_i = ts_all[gi]
             t_p = t0 + sgn * (prev * STEP)
-            hit = (fs_all[gi] * sgn > 0) & (fnd < 0.5)  # sign flipped vs f0
+            fv = fs_all[gi]
+            hit = (fv * sgn > 0) & (fnd < 0.5)          # sign flipped vs f0
             t_lo = jnp.where(hit, jnp.where(go_back, t_i, t_p), t_lo)
             t_hi = jnp.where(hit, jnp.where(go_back, t_p, t_i), t_hi)
+            if FP > 0:
+                # bracket f values ride along for false position
+                f_lo = jnp.where(hit, jnp.where(go_back, fv, f_prev), f_lo)
+                f_hi = jnp.where(hit, jnp.where(go_back, f_prev, fv), f_hi)
             fnd = jnp.where(hit, 1.0, fnd)
+            f_prev = fv
             prev = off
         found = enough & (fnd > 0.5)
     else:
@@ -370,10 +379,33 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
         t_lo = jnp.where(go_back, t_hit, t_hit - STEP)
         t_hi = jnp.where(go_back, t_hit + STEP, t_hit)
 
-    # ---- root refinement (frag:236-270): sequential bisection, or the
-    # batched k-section variant (KSEC_B interior points per pass in one
-    # batched HRBF evaluation — fewer passes over the tap stacks) ----
-    if KSEC_B > 1:
+    # ---- root refinement (frag:236-270): sequential bisection, the
+    # batched k-section variant (KSEC_B interior points per pass), or
+    # false-position iterations (FP > 0: superlinear on the smooth field —
+    # ~3x fewer evaluations than bisection for better accuracy) ----
+    if FP > 0:
+        def falsi(_, carry):
+            lo, hi, flo, fhi = carry
+            den = fhi - flo
+            den = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+            mid = lo - flo * (hi - lo) / den
+            # guard: keep the iterate strictly inside the bracket
+            mid = jnp.clip(mid, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
+            fm = f_at(mid)
+            neg = fm < 0
+            lo2 = jnp.where(neg, mid, lo)
+            flo2 = jnp.where(neg, fm, flo)
+            hi2 = jnp.where(neg, hi, mid)
+            fhi2 = jnp.where(neg, fhi, fm)
+            return lo2, hi2, flo2, fhi2
+
+        t_lo, t_hi, f_lo, f_hi = jax.lax.fori_loop(
+            0, FP, falsi, (t_lo, t_hi, f_lo, f_hi))
+        den = f_hi - f_lo
+        den = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+        t_surf = jnp.clip(t_lo - f_lo * (t_hi - t_lo) / den,
+                          jnp.minimum(t_lo, t_hi), jnp.maximum(t_lo, t_hi))
+    elif KSEC_B > 1:
         # pass loop ROLLED (fori): the unrolled-tap f_at body appears once
         # in the kernel — unrolling the passes too stalls Mosaic (>18 min)
         def ksec(_, carry):
@@ -397,7 +429,8 @@ def _raycast_kernel(attr_ref, out_ref, *, R, W, BH, K, KMIN, CONF_T,
             return jnp.where(fm < 0, mid, lo), jnp.where(fm < 0, hi, mid)
 
         t_lo, t_hi = jax.lax.fori_loop(0, BIS, bis, (t_lo, t_hi))
-    t_surf = 0.5 * (t_lo + t_hi)
+    if FP <= 0:
+        t_surf = 0.5 * (t_lo + t_hi)
     sx, sy, sz = t_surf * rx, t_surf * ry, t_surf * rz
 
     # ---- HRBF gradient at the surface point (normal; frag:276-280) ----
@@ -467,7 +500,9 @@ def raycast_core(attr9: jnp.ndarray, intr: CameraIntrinsics, cfg: SLAMConfig,
         FX=intr.fx, FY=intr.fy, CX=intr.cx, CY=intr.cy,
         TAPSTACK=tapstack,
         G_OFFS=tuple(g_steps) if cfg.raycast_geometric_ladder else None,
-        KSEC_B=ksec_b, KSEC_P=(ksec_p if ksec_b > 1 else 0))
+        KSEC_B=ksec_b, KSEC_P=(ksec_p if ksec_b > 1 else 0),
+        FP=(cfg.raycast_false_position
+            if cfg.raycast_geometric_ladder else 0))
     out = pl.pallas_call(
         kern,
         grid=(nb,),

@@ -215,10 +215,43 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
         t_lo = jnp.where(go_back, t_lo_b, t_lo_f)
         t_hi = jnp.where(go_back, t_hi_b, t_hi_f)
 
-        # ---- root refinement (frag:236-270): sequential bisection, or the
-        # batched k-section variant (cfg.raycast_bisection_batch) ----
+        if cfg.raycast_false_position > 0:
+            # bracket-end field values for false position (prev tap = f0
+            # at ladder index 0)
+            def tk(a, i):
+                return jnp.take_along_axis(a, i[:, None], axis=1)[:, 0]
+
+            back_prev = jnp.concatenate([f0[:, None], back[:, :-1]], axis=1)
+            fwd_prev = jnp.concatenate([f0[:, None], fwd[:, :-1]], axis=1)
+            f_lo = jnp.where(go_back, tk(back, bidx), tk(fwd_prev, fidx))
+            f_hi = jnp.where(go_back, tk(back_prev, bidx), tk(fwd, fidx))
+
+        # ---- root refinement (frag:236-270): sequential bisection, the
+        # batched k-section variant (cfg.raycast_bisection_batch), or
+        # false-position iterations (cfg.raycast_false_position) ----
         ksec_b, ksec_p = bisection_plan(cfg)
-        if ksec_b > 1:
+        if cfg.raycast_false_position > 0:
+            def falsi(_, carry):
+                lo, hi, flo, fhi = carry
+                den = fhi - flo
+                den = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+                mid = jnp.clip(lo - flo * (hi - lo) / den,
+                               jnp.minimum(lo, hi), jnp.maximum(lo, hi))
+                pm = mid[:, None] * b_ray
+                fm, _ = hrbf.hrbf_value(pm, b_pos, b_nrm, b_rad, b_ok)
+                neg = fm < 0
+                return (jnp.where(neg, mid, lo), jnp.where(neg, hi, mid),
+                        jnp.where(neg, fm, flo), jnp.where(neg, fhi, fm))
+
+            t_lo, t_hi, f_lo, f_hi = jax.lax.fori_loop(
+                0, cfg.raycast_false_position, falsi,
+                (t_lo, t_hi, f_lo, f_hi))
+            den = f_hi - f_lo
+            den = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+            t_surf = jnp.clip(t_lo - f_lo * (t_hi - t_lo) / den,
+                              jnp.minimum(t_lo, t_hi),
+                              jnp.maximum(t_lo, t_hi))
+        elif ksec_b > 1:
             fr = jnp.arange(1, ksec_b + 1, dtype=jnp.float32)
             for _ in range(ksec_p):
                 wdt = (t_hi - t_lo) / (ksec_b + 1.0)
@@ -243,7 +276,8 @@ def predict_hrbf(m: SurfelMap, pose_inv: jnp.ndarray, index_map: jnp.ndarray,
                 return lo, hi
 
             t_lo, t_hi = jax.lax.fori_loop(0, bis_iters, bis, (t_lo, t_hi))
-        t_surf = 0.5 * (t_lo + t_hi)
+        if cfg.raycast_false_position <= 0:
+            t_surf = 0.5 * (t_lo + t_hi)
         p_surf = t_surf[:, None] * b_ray
         grad = hrbf.hrbf_gradient(p_surf, b_pos, b_nrm, b_rad, b_ok)
         nrm = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-12)

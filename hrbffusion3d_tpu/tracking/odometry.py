@@ -226,14 +226,17 @@ def track(
         min_scale = (cfg.min_gradient_magnitudes[lvl] ** 2) / (cfg.sobel_scale ** 2)
         use_sparse = cfg.icp_use_sparse and use_icp
         # joint fast path: ICP + photometric share ONE row gather per
-        # iteration (default config; the specialised modes keep the
-        # separate formulations)
-        use_joint = (cfg.tracking_joint_gather
+        # iteration (the specialised modes keep the separate formulations);
+        # tracking_rgb_nearest implies it (nearest-pixel photometric is
+        # implemented as the single 9-ch joint gather)
+        use_joint = ((cfg.tracking_joint_gather or cfg.tracking_rgb_nearest)
                      and use_rgb and use_icp and not use_sparse
                      and not cfg.icp_use_correspondence_search)
         # per-level packed constants, hoisted out of the GN iterations
         if use_joint:
-            model_rows = icp_ops.pack_joint(
+            packer = (icp_ops.pack_joint_nearest if cfg.tracking_rgb_nearest
+                      else icp_ops.pack_joint)
+            model_rows = packer(
                 inp.last_vmap_g[lvl], inp.last_nmap_g[lvl],
                 inp.icp_weight[lvl], inp.last_depth[lvl],
                 inp.last_intensity[lvl])
@@ -283,7 +286,8 @@ def track(
                     model_rows, inp.next_intensity[lvl], static_valid,
                     li, cfg,
                     assoc_prev=assoc if reassoc > 1 else None,
-                    do_gather=(it % reassoc == 0) if reassoc > 1 else None)
+                    do_gather=(it % reassoc == 0) if reassoc > 1 else None,
+                    nearest=cfg.tracking_rgb_nearest)
                 sigma_val = jnp.where(
                     rgb_only, jnp.float32(-1.0),
                     jnp.sqrt(jnp.maximum(corres.count, 1.0)))

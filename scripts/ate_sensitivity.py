@@ -40,6 +40,13 @@ VARIANTS = {
     "reassoc3": {"tracking_reassoc_period": 3},
     "reassoc2+bisect6": {"tracking_reassoc_period": 2,
                          "raycast_bisection_iters": 6},
+    "rgbnearest": {"tracking_rgb_nearest": True},
+    "fp3": {"raycast_false_position": 3},
+    "rgbnearest+fp3": {"tracking_rgb_nearest": True,
+                       "raycast_false_position": 3},
+    "rgbnearest+fp3+bisect6": {"tracking_rgb_nearest": True,
+                               "raycast_false_position": 3,
+                               "raycast_bisection_iters": 6},
 }
 if os.environ.get("ATE_VARIANTS"):
     keep = os.environ["ATE_VARIANTS"].split(",")

@@ -202,6 +202,10 @@ def test_joint_fast_path_matches_separate():
     pose0 = np.eye(4, dtype=np.float32)
     pose1 = pose0.copy()
     pose1[:3, 3] = [0.012, -0.006, 0.01]
+    # the 36-ch joint table and pack_last footprint implement the BILINEAR
+    # photometric mode; pin it (the default is nearest, reference parity)
+    CFGB = dataclasses.replace(CFG, tracking_rgb_nearest=False,
+                               tracking_joint_gather=True)
 
     d0, i0, pre0 = _make_frame(pose0)
     d1, i1, pre1 = _make_frame(pose1)
@@ -224,10 +228,10 @@ def test_joint_fast_path_matches_separate():
     K = np.array([[INTR.fx, 0, INTR.cx], [0, INTR.fy, INTR.cy], [0, 0, 1]],
                  np.float32)
     krkinv = jnp.asarray(K @ np.linalg.inv(K))
-    corres_sep = icp_ops.rgb_residual(krkinv, zero3, d1, i1, last_rows, sv, CFG)
+    corres_sep = icp_ops.rgb_residual(krkinv, zero3, d1, i1, last_rows, sv, CFGB)
     res_j, corres_j, _assoc = icp_ops.joint_step(
         eye3, zero3, eye3, zero3, pre1.vertex_filtered, pre1.normal,
-        d1, joint_rows, i1, sv, INTR, CFG)
+        d1, joint_rows, i1, sv, INTR, CFGB)
 
     np.testing.assert_allclose(np.asarray(res_j.A), np.asarray(res_sep.A),
                                rtol=1e-5, atol=1e-5)
@@ -243,8 +247,8 @@ def test_joint_fast_path_matches_separate():
                                np.asarray(corres_sep.diff)[both], atol=5e-3)
 
     # end-to-end: same solution basin
-    est_joint, _ = _track_pair(pose0, pose1, cfg=CFG)
-    cfg_sep = dataclasses.replace(CFG, icp_use_correspondence_search=True,
+    est_joint, _ = _track_pair(pose0, pose1, cfg=CFGB)
+    cfg_sep = dataclasses.replace(CFGB, icp_use_correspondence_search=True,
                                   icp_search_radius=0)
     est_sep, _ = _track_pair(pose0, pose1, cfg=cfg_sep)
     np.testing.assert_allclose(est_joint[:3, 3], est_sep[:3, 3], atol=3e-3)
@@ -305,4 +309,28 @@ def test_reassoc_period_matches_parity_near_convergence():
     est1, _ = _track_pair(pose0, pose1, cfg=CFG)
     est2, _ = _track_pair(
         pose0, pose1, cfg=dataclasses.replace(CFG, tracking_reassoc_period=2))
-    assert np.linalg.norm(est1[:3, 3] - est2[:3, 3]) < 5e-4
+    # nearest-pixel photometric (the default) makes the residual landscape
+    # piecewise-constant per pixel, so frozen associations land a little
+    # further away than under bilinear; both are well inside the fixture's
+    # ~5 mm convergence error
+    assert np.linalg.norm(est1[:3, 3] - est2[:3, 3]) < 2e-3
+
+
+def test_rgb_nearest_tracks():
+    """Nearest-pixel photometric (the reference's semantics; one 9-ch joint
+    gather) converges like the bilinear default."""
+    import dataclasses
+
+    pose0 = np.eye(4, dtype=np.float32)
+    xi = jnp.array([0.008, 0.004, -0.006, 0.01, -0.008, 0.012])
+    pose1 = np.asarray(lie.se3_exp(xi)) @ pose0
+    cfg = dataclasses.replace(CFG, tracking_rgb_nearest=True)
+    est, _ = _track_pair(pose0, pose1, cfg=cfg)
+    terr, rerr = _pose_err(est, pose1)
+    assert terr < 0.007, terr
+    assert rerr < 0.5, rerr
+    # and with frozen-correspondence iterations on top
+    cfg2 = dataclasses.replace(cfg, tracking_reassoc_period=2)
+    est2, _ = _track_pair(pose0, pose1, cfg=cfg2)
+    terr2, _ = _pose_err(est2, pose1)
+    assert terr2 < 0.007, terr2

@@ -160,3 +160,46 @@ def test_ksection_pallas_matches_xla():
     assert both.mean() > 0.5
     np.testing.assert_allclose(np.asarray(out.vertex)[both],
                                np.asarray(ref.vertex)[both], atol=1e-4)
+
+
+def test_false_position_matches_bisection():
+    """False-position refinement (raycast_false_position=3) lands on the
+    same surface as the reference bisection (superlinear on the smooth
+    field): same found set, tighter-than-bracket vertex agreement."""
+    import dataclasses
+
+    pose = np.eye(4, dtype=np.float32)
+    m, depth, rgb = _map_from_frame(pose)
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    cfg_f = dataclasses.replace(CFG, raycast_false_position=3)
+    pred_s = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, CFG, chunk=4096)
+    pred_f = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, cfg_f, chunk=4096)
+    fs = np.asarray(pred_s.found)
+    ff = np.asarray(pred_f.found)
+    assert (fs == ff).all()
+    both = fs & ff
+    dv = np.linalg.norm(
+        np.asarray(pred_s.vertex) - np.asarray(pred_f.vertex), axis=-1)[both]
+    # bisection bracket after 9 halvings of a <=28 mm bracket is <= 55 um;
+    # false position should agree within that bracket scale
+    assert np.median(dv) < 3e-5, np.median(dv)
+    assert np.max(dv) < 1e-3, np.max(dv)
+
+
+def test_false_position_pallas_matches_xla():
+    import dataclasses
+
+    pose = np.eye(4, dtype=np.float32)
+    m, depth, rgb = _map_from_frame(pose)
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    cfg_f = dataclasses.replace(CFG, raycast_false_position=3)
+    ref = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, cfg_f, chunk=4096)
+    out = raycast.predict_hrbf(m, jnp.eye(4), idx, INTR, cfg_f,
+                               pallas_interpret=True)
+    rf = np.asarray(ref.found)
+    of = np.asarray(out.found)
+    assert (rf == of).mean() > 0.995, (rf != of).mean()
+    both = rf & of
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(np.asarray(out.vertex)[both],
+                               np.asarray(ref.vertex)[both], atol=1e-4)

@@ -49,7 +49,11 @@ def test_static_camera_sequence():
     gt = np.tile(np.eye(4, dtype=np.float32)[None], (6, 1, 1))
     state, est = slam.run_sequence(_frames(gt), INTR, CFG, init_pose=gt[0])
     err = ate.ate_rmse(est, gt, align=False)
-    assert err < 1e-3, err
+    # nearest-pixel photometric (the reference-parity default) quantises
+    # the residual per pixel: a few-mm wobble at this 5x-coarse 128x96
+    # fixture (sub-0.1 px); bilinear mode holds < 1 mm here but measured
+    # 5x worse ATE at native 640x480 (scripts/tpu_ate.py)
+    assert err < 4e-3, err
     conf_mean = float(jnp.sum(state.map.conf * state.map.valid) / state.map.count)
     assert conf_mean > 0.5
 

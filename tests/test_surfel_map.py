@@ -268,3 +268,25 @@ def test_incremental_active_mask_matches_full_gather():
     incremental = m2.valid & sub_act2
     full = sm.active_from_submaps(m2, act_sub)
     np.testing.assert_array_equal(np.asarray(incremental), np.asarray(full))
+
+
+def test_clean_crowd_period_gates_crowd_rules():
+    """clean_crowd_period > 1: the crowd/free-space rules fire only on
+    period frames; the elementwise rules (unstable-kill) run every frame."""
+    meas, _ = _measure(np.eye(4, dtype=np.float32))
+    m = sm.initialise(CFG.map_capacity, meas, jnp.eye(4), CFG, time=1)
+    idx = sm.render_index(m, jnp.eye(4), INTR)
+    cfg = dataclasses.replace(CFG, clean_crowd_period=2)
+    # period=2: off-frame (odd time) keep mask must be a superset of the
+    # on-frame (even time) mask with identical elementwise rules
+    keep_on = np.asarray(sm.clean_mask(m, jnp.eye(4), idx, INTR, cfg, time=2))
+    keep_off = np.asarray(sm.clean_mask(m, jnp.eye(4), idx, INTR, cfg, time=3))
+    assert (keep_off | ~keep_on).all() or (keep_off >= keep_on).all()
+    # on-frame equals the every-frame config at the same time
+    keep_ref = np.asarray(sm.clean_mask(m, jnp.eye(4), idx, INTR, CFG, time=2))
+    assert (keep_on == keep_ref).all()
+    # unstable-kill still fires on an off-frame
+    cfg_hi = dataclasses.replace(cfg, confidence_threshold=100.0)
+    m2 = sm.clean(m, jnp.eye(4), idx, INTR, cfg_hi,
+                  time=1 + cfg.unstable_time_limit + 11)  # odd time
+    assert int(m2.count) == 0
