@@ -28,13 +28,16 @@ BASELINE_FPS = 30.0
 
 def main():
     intr = TUM1  # 640x480
-    # the autotuned configuration (scripts/autotune.py -> tuned.json, the
-    # reference's GPUTest/GPUConfig analogue); bisect6 costs +0.2% synth
-    # ATE (scripts/ate_sensitivity.py), everything else is parity
+    # the autotuned configuration (tuned.json, the reference's
+    # GPUTest/GPUConfig analogue).  Accuracy-bearing dials are validated on
+    # full-resolution on-chip ATE (scripts/tpu_ate.py): false-position
+    # refinement and the crowd-rule period are ATE-neutral; rejected dials
+    # (window2, raycast_period2) are documented there.  Everything else is
+    # reference parity (nearest photometric IS the reference's lookup).
     cfg = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2,
                      use_pallas_raycast=True, clean_compact_period=4,
                      raycast_block_height=16, raycast_bisection_iters=6,
-                     raycast_false_position=3)
+                     raycast_false_position=3, clean_crowd_period=4)
 
     scene = synth.default_room()
     poses = synth.orbit_trajectory(8, angle_per_frame=0.004)

@@ -187,6 +187,21 @@ def pack_joint(vmap_g: jnp.ndarray, nmap_g: jnp.ndarray,
         [base.reshape(P, 9), sh(0, 1), sh(1, 0), sh(1, 1)], axis=-1)
 
 
+def joint_cur_pack(vmap_curr, nmap_curr, next_depth, intr):
+    """Pose-invariant per-pixel inputs of joint_step (current-frame vertex
+    cloud, normals, validity), computed once per pyramid level instead of
+    inside every GN iteration."""
+    from ..core import camera
+
+    h, w = vmap_curr.shape[:2]
+    n_pix = h * w
+    vcurr = camera.unproject(next_depth, intr).reshape(n_pix, 3)
+    vmap_z = vmap_curr.reshape(n_pix, 3)[:, 2]
+    ncurr = nmap_curr.reshape(n_pix, 3)
+    valid_curr = (vmap_z > 0) & (jnp.sum(ncurr * ncurr, axis=-1) > 0.25)
+    return vcurr, ncurr, valid_curr
+
+
 def joint_step(
     R_curr: jnp.ndarray, t_curr: jnp.ndarray,
     R_prev_inv: jnp.ndarray, t_prev: jnp.ndarray,
@@ -199,6 +214,7 @@ def joint_step(
     assoc_prev: jnp.ndarray | None = None,  # (H*W, 9) carried association
     do_gather: jnp.ndarray | None = None,   # () bool — re-gather this iter?
     nearest: bool = False,   # joint_rows from pack_joint_nearest (9-ch)
+    cur_pack=None,           # optional hoisted (vcurr, ncurr, valid_curr)
 ):
     """Fused ICP + photometric correspondence pass sharing ONE row gather
     (the default-config fast path; identical math to icp_step(R=0) +
@@ -222,10 +238,14 @@ def joint_step(
 
     h, w = vmap_curr.shape[:2]
     n_pix = h * w
-    vcurr = camera.unproject(next_depth, intr).reshape(n_pix, 3)
-    vmap_z = vmap_curr.reshape(n_pix, 3)[:, 2]
-    ncurr = nmap_curr.reshape(n_pix, 3)
-    valid_curr = (vmap_z > 0) & (jnp.sum(ncurr * ncurr, axis=-1) > 0.25)
+    if cur_pack is not None:
+        # pose-invariant per-pixel quantities hoisted out of the GN loop
+        vcurr, ncurr, valid_curr = cur_pack
+    else:
+        vcurr = camera.unproject(next_depth, intr).reshape(n_pix, 3)
+        vmap_z = vmap_curr.reshape(n_pix, 3)[:, 2]
+        ncurr = nmap_curr.reshape(n_pix, 3)
+        valid_curr = (vmap_z > 0) & (jnp.sum(ncurr * ncurr, axis=-1) > 0.25)
 
     # full-precision warp: the TPU matmul default is bf16, which shifts the
     # warped coordinate by ~0.2 px — the reference's photometric warp is

@@ -247,6 +247,9 @@ def track(
             last_rows = icp_ops.pack_last(inp.last_depth[lvl], inp.last_intensity[lvl])
         static_valid = icp_ops.rgb_static_valid(
             inp.next_intensity[lvl], d_idx, d_idy, inp.next_depth[lvl], min_scale)
+        cur_pack = (icp_ops.joint_cur_pack(
+            inp.next_vmap[lvl], inp.next_nmap[lvl], inp.next_depth[lvl], li)
+            if use_joint else None)
 
         # fixed-correspondence iterations: carry the association rows and
         # re-gather only every reassoc-th iteration (cfg doc in config.py)
@@ -287,7 +290,7 @@ def track(
                     li, cfg,
                     assoc_prev=assoc if reassoc > 1 else None,
                     do_gather=(it % reassoc == 0) if reassoc > 1 else None,
-                    nearest=cfg.tracking_rgb_nearest)
+                    nearest=cfg.tracking_rgb_nearest, cur_pack=cur_pack)
                 sigma_val = jnp.where(
                     rgb_only, jnp.float32(-1.0),
                     jnp.sqrt(jnp.maximum(corres.count, 1.0)))
