@@ -336,14 +336,27 @@ def render_attr_image(m: SurfelMap, index_map: jnp.ndarray,
     flat = index_map.reshape(-1)
     has = flat >= 0
     cs = jnp.clip(flat, 0, m.data.shape[0] - 1)
-    rows = m.data[cs]                                 # ONE (P, 24) row gather
-    pos_cam = rows[:, POS] @ pose_inv[:3, :3].T + pose_inv[:3, 3]
-    nrm_cam = rows[:, NORMAL] @ pose_inv[:3, :3].T
-    act = rows[:, ACT]
+    if extended:
+        rows = m.data[cs]                             # ONE (P, 24) row gather
+        pos_w, nrm_w = rows[:, POS], rows[:, NORMAL]
+        conf, radius = rows[:, CONF], rows[:, RADIUS]
+        init, stamp, act = rows[:, INIT_TIME], rows[:, STAMP], rows[:, ACT]
+    else:
+        # the base attr image reads 11 of the 24 data channels; gather the
+        # pre-sliced table (row-gather cost grows with row bytes — the
+        # slice itself is a cheap streaming copy)
+        sel = jnp.array([0, 1, 2, 10, 11, 12, CONF, RADIUS,
+                         INIT_TIME, STAMP, ACT])
+        r11 = m.data[:, sel][cs]                      # ONE (P, 11) row gather
+        pos_w, nrm_w = r11[:, 0:3], r11[:, 3:6]
+        conf, radius = r11[:, 6], r11[:, 7]
+        init, stamp, act = r11[:, 8], r11[:, 9], r11[:, 10]
+    pos_cam = pos_w @ pose_inv[:3, :3].T + pose_inv[:3, 3]
+    nrm_cam = nrm_w @ pose_inv[:3, :3].T
     chans = [
         pos_cam, nrm_cam,
-        rows[:, CONF, None], rows[:, RADIUS, None],
-        rows[:, INIT_TIME, None], rows[:, STAMP, None],
+        conf[:, None], radius[:, None],
+        init[:, None], stamp[:, None],
         act[:, None], has[:, None].astype(jnp.float32),
     ]
     if extended:
@@ -396,30 +409,33 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     if cfg.fuse_gather_quarter:
         qpix = (gy.astype(jnp.int32) * w + gx.astype(jnp.int32)).reshape(P)
 
-        # ONE joint row gather for every per-pixel input (row gathers cost
-        # per ROW, ~free per channel — same trick as tracking's
-        # joint_step): [valid | vertex | normal | packed measurement row |
-        # 3x3 attr patches | 3x3 candidate ids] = 148 ch.  Ids ride as
-        # f32 VALUES (exact to 2^24; NOT a bitcast — small ints bitcast to
-        # f32 are denormal/NaN patterns, and GSPMD's masked-sum lowering of
-        # a sharded gather canonicalizes NaN payloads, corrupting them).
+        # ONE joint row gather for every per-pixel input (same trick as
+        # tracking's joint_step): [valid | vertex | normal | packed
+        # measurement row | 3x3 attr patches (the 7 channels the
+        # association reads: pos, nrm, valid) | 3x3 candidate ids]
+        # = 103 ch.  Row-gather cost grows with row bytes, so the patch
+        # stack carries only the needed channels.  Ids ride as f32 VALUES
+        # (exact to 2^24; NOT a bitcast — small ints bitcast to f32 are
+        # denormal/NaN patterns, and GSPMD's masked-sum lowering of a
+        # sharded gather canonicalizes NaN payloads, corrupting them).
         assert m.data.shape[0] <= (1 << 24), "id-as-f32 exactness limit"
+        FC = 7   # per-tap channels: A_POS(3) A_NRM(3) A_VALID
+        attr7 = attr[..., jnp.array([0, 1, 2, 3, 4, 5, A_VALID])]
         tbl = jnp.concatenate([
             _measurement_valid(meas, cfg)[..., None].astype(jnp.float32),
             meas.vertex, meas.normal,
             _pack_frame(meas, pose, submap_idx, time, act).reshape(h, w, 24),
-            extract_patches(attr, 1).reshape(h, w, 9 * ATTR_CHANNELS),
+            extract_patches(attr7, 1).reshape(h, w, 9 * FC),
             extract_patches(index_map, 1, fill=-1).astype(jnp.float32),
-        ], axis=-1).reshape(h * w, 31 + 9 * ATTR_CHANNELS + 9)
-        rows_q = tbl[qpix]                                   # (P, 148)
+        ], axis=-1).reshape(h * w, 31 + 9 * FC + 9)
+        rows_q = tbl[qpix]                                   # (P, 103)
         ok_pix = rows_q[:, 0] > 0.5
         v_local = rows_q[:, 1:4]
         n_local = rows_q[:, 4:7]
         new_rows = rows_q[:, 7:31]                           # (P, 24)
-        patch = rows_q[:, 31:31 + 9 * ATTR_CHANNELS].reshape(
-            P, 9, ATTR_CHANNELS)
+        patch = rows_q[:, 31:31 + 9 * FC].reshape(P, 9, FC)
         cand = jnp.round(
-            rows_q[:, 31 + 9 * ATTR_CHANNELS:]).astype(jnp.int32)  # (P, 9)
+            rows_q[:, 31 + 9 * FC:]).astype(jnp.int32)       # (P, 9)
     else:
         def quarter(img):
             return jnp.where(par == 0, img[0::2, 0::2], img[1::2, 1::2])
@@ -433,7 +449,8 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
         n_local = meas_q.normal.reshape(P, 3)
         new_rows = _pack_frame(meas_q, pose, submap_idx, time, act)  # (P,24)
         # association inputs (the GL data.vert texture fetches), quartered
-        patch = qsel(extract_patches(attr, 1)).reshape(P, 9, ATTR_CHANNELS)
+        attr7 = attr[..., jnp.array([0, 1, 2, 3, 4, 5, A_VALID])]
+        patch = qsel(extract_patches(attr7, 1)).reshape(P, 9, 7)
         cand = qsel(extract_patches(index_map, 1, fill=-1)).reshape(P, 9)
 
     xl = (gx.reshape(P) - intr.cx) / intr.fx
@@ -443,9 +460,10 @@ def fuse(m: SurfelMap, meas: FrameMeasurement, pose: jnp.ndarray,
     ray_len = jnp.linalg.norm(ray, axis=-1)
 
     # --- association over the 3x3 window of the attr-image render ---
-    has = (cand >= 0) & (patch[..., A_VALID] > 0.5)
-    cpos = patch[..., A_POS]                               # (P,9,3) camera
-    cnrm = patch[..., A_NRM]
+    # (patch channels: 0:3 pos | 3:6 nrm | 6 valid)
+    has = (cand >= 0) & (patch[..., 6] > 0.5)
+    cpos = patch[..., 0:3]                                 # (P,9,3) camera
+    cnrm = patch[..., 3:6]
 
     depth_ok = jnp.abs(cpos[..., 2] * lam[:, None]
                        - (v_local[:, 2] * lam)[:, None]) < cfg.depth_consistency

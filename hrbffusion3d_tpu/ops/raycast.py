@@ -334,17 +334,23 @@ def _assemble_prediction(attr_ext: jnp.ndarray, pose_inv: jnp.ndarray,
     pid = jnp.arange(P, dtype=jnp.int32)
     py = jnp.clip(pid // w + d_yx[:, 0].astype(jnp.int32), 0, h - 1)
     px = jnp.clip(pid % w + d_yx[:, 1].astype(jnp.int32), 0, w - 1)
-    near = attr_ext.reshape(P, smod.ATTR_EXT_CHANNELS)[py * w + px]
+    # gather only the 14 channels the epilogue reads (row-gather cost grows
+    # with row bytes); the slice is a cheap streaming copy
+    NEED = [smod.A_CONF, smod.A_RADIUS, smod.A_INIT,
+            12, 13, 14, smod.A_EXT_K1, smod.A_EXT_K2,
+            17, 18, 19, 20, 21, 22]
+    near = attr_ext.reshape(P, smod.ATTR_EXT_CHANNELS)[
+        :, jnp.array(NEED)][py * w + px]
     Rr = pose_inv[:3, :3]
 
-    conf = jnp.where(found, near[:, smod.A_CONF], 0.0)
-    radius = jnp.where(found, near[:, smod.A_RADIUS], 0.0)
-    color = jnp.where(found[:, None], near[:, smod.A_EXT_COLOR], 0.0)
-    k1 = jnp.where(found, near[:, smod.A_EXT_K1], 1000.0)
-    k2 = jnp.where(found, near[:, smod.A_EXT_K2], 1000.0)
-    d1 = jnp.where(found[:, None], near[:, smod.A_EXT_D1] @ Rr.T, 0.0)
-    d2_ = jnp.where(found[:, None], near[:, smod.A_EXT_D2] @ Rr.T, 0.0)
-    itime = jnp.where(found, near[:, smod.A_INIT].astype(jnp.int32), 0)
+    conf = jnp.where(found, near[:, 0], 0.0)
+    radius = jnp.where(found, near[:, 1], 0.0)
+    color = jnp.where(found[:, None], near[:, 3:6], 0.0)
+    k1 = jnp.where(found, near[:, 6], 1000.0)
+    k2 = jnp.where(found, near[:, 7], 1000.0)
+    d1 = jnp.where(found[:, None], near[:, 8:11] @ Rr.T, 0.0)
+    d2_ = jnp.where(found[:, None], near[:, 11:14] @ Rr.T, 0.0)
+    itime = jnp.where(found, near[:, 2].astype(jnp.int32), 0)
 
     lam = cfg.icp_curv_weight_lambda
     cmax = jnp.maximum(jnp.abs(k1), jnp.abs(k2))

@@ -31,7 +31,7 @@ intr = TUM1
 BASE = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2,
                   use_pallas_raycast=True, clean_compact_period=4,
                   raycast_block_height=16, raycast_bisection_iters=6,
-                  raycast_false_position=3)
+                  raycast_false_position=3, clean_crowd_period=4)
 
 VARIANTS = {
     "base": {},                     # == bench config (nearest+fp3 defaults)
@@ -40,6 +40,8 @@ VARIANTS = {
     "rayperiod2": {"raycast_period": 2},
     "crowd2": {"clean_crowd_period": 2},
     "crowd4": {"clean_crowd_period": 4},
+    "eps1e-5": {"tracking_converge_eps": 1e-5},
+    "eps3e-5": {"tracking_converge_eps": 3e-5},
 }
 if os.environ.get("ATE_VARIANTS"):
     keep = os.environ["ATE_VARIANTS"].split(",")
