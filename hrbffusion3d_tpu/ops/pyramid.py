@@ -104,6 +104,75 @@ def resize_scalar_map(src: jnp.ndarray, gather: bool = True) -> jnp.ndarray:
     return 0.25 * (src[0::2, 0::2] + src[0::2, 1::2] + src[1::2, 0::2] + src[1::2, 1::2])
 
 
+def pyr_down_depth_mc(src: jnp.ndarray, sigma_color: float = 0.03) -> jnp.ndarray:
+    """Multi-channel pyr_down_depth: (H, W, C) stacked depth maps share one
+    5x5 patch pass and ONE decimation gather (each separate pyramid op pays
+    a fixed per-array cost on TPU)."""
+    patches = extract_patches(src, 2)          # (H, W, 25, C)
+    wts_1d = jnp.array([0.0625, 0.25, 0.375, 0.25, 0.0625], src.dtype)
+    wts = (wts_1d[:, None] * wts_1d[None, :]).reshape(25)[None, None, :, None]
+    center = src[:, :, None, :]
+    ok = (jnp.abs(patches - center) < 3.0 * sigma_color) & (patches > 0)
+    wv = jnp.where(ok, wts, 0.0)
+    num = jnp.sum(patches * wv, axis=2)
+    den = jnp.sum(wv, axis=2)
+    out = jnp.where((den > 0) & (src > 0), num / jnp.maximum(den, 1e-12), 0.0)
+    return _decimate2(out)
+
+
+def pyr_down_intensity_mc(src: jnp.ndarray) -> jnp.ndarray:
+    """Multi-channel pyr_down_intensity: (H, W, C) stacked intensity maps,
+    one [1,4,6,4,1]^2 Gaussian patch pass + one decimation gather."""
+    h, w = src.shape[:2]
+    patches = extract_patches(src, 2)          # (H, W, 25, C)
+    wts_1d = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], src.dtype)
+    wts = (wts_1d[:, None] * wts_1d[None, :]).reshape(25)
+    inb = extract_patches(jnp.ones((h, w), src.dtype), 2)      # (H, W, 25)
+    wv = (wts * inb)[..., None]
+    out = (jnp.sum(patches * wv, axis=2)
+           / jnp.maximum(jnp.sum(wv, axis=2), 1e-12))
+    return _decimate2(out)
+
+
+def resize_maps_fused(vmaps: list[jnp.ndarray], nmaps: list[jnp.ndarray],
+                      scalars: list[jnp.ndarray]):
+    """One 2x2 pooling pass for ALL the per-level map resizes: vertex maps
+    (z-validity gate), normal maps (length gate + renormalise) and scalar
+    maps (plain average) are concatenated with their validity indicator
+    channels into a single tensor for ONE reduce_window call.
+
+    Returns (vmaps_down, nmaps_down, scalars_down) matching resize_map /
+    resize_map(normalize=True) / resize_scalar_map exactly."""
+    chans = []
+    for v in vmaps:
+        chans += [v, (v[..., 2] > 0).astype(v.dtype)[..., None]]
+    for nm in nmaps:
+        ok = (jnp.sum(nm[..., :3] * nm[..., :3], axis=-1) > 1e-12)
+        chans += [nm, ok.astype(nm.dtype)[..., None]]
+    for s in scalars:
+        chans.append(s[..., None])
+    big = jnp.concatenate(chans, axis=-1)
+    pooled = _pool2_sum(big)
+    out_v, out_n, out_s = [], [], []
+    c = 0
+    for _ in vmaps:
+        avg = pooled[..., c:c + 3] * 0.25
+        ok = pooled[..., c + 3] > 3.5
+        out_v.append(jnp.where(ok[..., None], avg, 0.0))
+        c += 4
+    for _ in nmaps:
+        avg = pooled[..., c:c + 3] * 0.25
+        ok = pooled[..., c + 3] > 3.5
+        n = jnp.linalg.norm(avg, axis=-1, keepdims=True)
+        avg = avg / jnp.maximum(n, 1e-12)
+        out_n.append(jnp.where(ok[..., None], avg, 0.0))
+        c += 4
+    for _ in scalars:
+        out_s.append(pooled[..., c] * 0.25)
+        c += 1
+    return out_v, out_n, out_s
+
+
 def sobel_derivatives(img: jnp.ndarray):
     """3x3 Sobel as in computeDerivativeImages (cudafuncs.cu:956-993).
 

@@ -86,6 +86,56 @@ def build_inputs(
     nmap_g = jnp.where(pred_valid[..., None], nmap_g, 0.0)
     pred_depth = jnp.where(pred_valid, pred_vmap[..., 2], 0.0)
 
+    use_curv = cfg.icp_use_correspondence_search and next_k1 is not None
+
+    if cfg.pyramid_gather_decimate:
+        # fused per-level downsampling: ONE 5x5 depth pass (2 stacked
+        # maps), ONE Gaussian intensity pass (3 stacked maps) and ONE 2x2
+        # pooling pass (all vertex/normal/scalar maps + their validity
+        # channels) per level transition — each separate pyramid op pays a
+        # fixed per-array cost on TPU (was ~20 ops/level, ~4.8 ms/frame)
+        lv = {
+            "deps": (next_depth, pred_depth),
+            "ints": (next_intensity, pred_intensity, prev_intensity),
+            "vmaps": (next_vmap, vmap_g),
+            "nmaps": (next_nmap, nmap_g),
+            "scalars": (icp_weight,) + (
+                (next_k1, next_k2, pred_k1, pred_k2) if use_curv else ()),
+        }
+        levels = [lv]
+        for _ in range(L - 1):
+            p = levels[-1]
+            deps = pyr_ops.pyr_down_depth_mc(jnp.stack(p["deps"], axis=-1))
+            ints = pyr_ops.pyr_down_intensity_mc(jnp.stack(p["ints"], axis=-1))
+            vms, nms, scs = pyr_ops.resize_maps_fused(
+                list(p["vmaps"]), list(p["nmaps"]), list(p["scalars"]))
+            levels.append({
+                "deps": tuple(deps[..., i] for i in range(len(p["deps"]))),
+                "ints": tuple(ints[..., i] for i in range(len(p["ints"]))),
+                "vmaps": tuple(vms), "nmaps": tuple(nms),
+                "scalars": tuple(scs),
+            })
+
+        def pyr(group, i):
+            return tuple(lvl[group][i] for lvl in levels)
+
+        return TrackingInputs(
+            next_depth=pyr("deps", 0),
+            next_intensity=pyr("ints", 0),
+            next_vmap=pyr("vmaps", 0),
+            next_nmap=pyr("nmaps", 0),
+            last_depth=pyr("deps", 1),
+            last_intensity=pyr("ints", 1),
+            last_vmap_g=pyr("vmaps", 1),
+            last_nmap_g=pyr("nmaps", 1),
+            icp_weight=pyr("scalars", 0),
+            prev_intensity=pyr("ints", 2),
+            **({
+                "next_k1": pyr("scalars", 1), "next_k2": pyr("scalars", 2),
+                "last_k1": pyr("scalars", 3), "last_k2": pyr("scalars", 4),
+            } if use_curv else {}),
+        )
+
     g = cfg.pyramid_gather_decimate
     down_depth = lambda m: pyr_ops.pyr_down_depth(m, gather=g)
     down_int = lambda m: pyr_ops.pyr_down_intensity(m, gather=g)

@@ -334,3 +334,31 @@ def test_rgb_nearest_tracks():
     est2, _ = _track_pair(pose0, pose1, cfg=cfg2)
     terr2, _ = _pose_err(est2, pose1)
     assert terr2 < 0.007, terr2
+
+
+def test_fused_pyramids_match_per_map():
+    """The fused multi-channel pyramid construction (one depth pass, one
+    intensity pass, one pooled map pass per level) equals the per-map
+    slice-path construction value-for-value."""
+    import dataclasses
+
+    pose0 = np.eye(4, dtype=np.float32)
+    pose1 = pose0.copy()
+    pose1[:3, 3] = [0.01, -0.005, 0.008]
+    d0, i0, pre0 = _make_frame(pose0)
+    d1, i1, pre1 = _make_frame(pose1)
+    kw = dict(
+        next_depth=d1, next_intensity=i1, next_vmap=pre1.vertex_filtered,
+        next_nmap=pre1.normal, pred_vmap=pre0.vertex_filtered,
+        pred_nmap=pre0.normal, pred_intensity=i0,
+        icp_weight=jnp.ones_like(d0),
+        prev_R=jnp.eye(3), prev_t=jnp.zeros(3), prev_intensity=i0,
+    )
+    a = odometry.build_inputs(cfg=CFG, **kw)
+    b = odometry.build_inputs(
+        cfg=dataclasses.replace(CFG, pyramid_gather_decimate=False), **kw)
+    for fa, fb, name in zip(a, b, a._fields):
+        for lvl, (xa, xb) in enumerate(zip(fa, fb)):
+            np.testing.assert_allclose(
+                np.asarray(xa), np.asarray(xb), atol=2e-5,
+                err_msg=f"{name} level {lvl}")
