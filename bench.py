@@ -34,7 +34,7 @@ def main():
     # refinement and the crowd-rule period are ATE-neutral; rejected dials
     # (window2, raycast_period2) are documented there.  Everything else is
     # reference parity (nearest photometric IS the reference's lookup).
-    cfg = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2,
+    cfg = SLAMConfig(map_capacity=393216, predict_conf_threshold=0.2,
                      use_pallas_raycast=True, clean_compact_period=4,
                      raycast_block_height=16, raycast_bisection_iters=6,
                      raycast_false_position=3, clean_crowd_period=4)

@@ -98,3 +98,21 @@ def test_raycast_period_tracks():
     err = ate.ate_rmse(est, gt, align=False)
     assert err < 0.03, err
     assert float(state.dense_frac) > 0.5
+
+
+def test_capacity_invariance():
+    """Trajectories are independent of the map-capacity bucket (dead rows
+    never influence live outputs — grow()'s invariant; the bench uses a
+    non-power-of-2 1.5x bucket)."""
+    import dataclasses
+
+    gt = synth.orbit_trajectory(5, angle_per_frame=0.004)
+    # both buckets must exceed the live count (~10k) — a saturated bucket
+    # legitimately drops appends, like the reference's full VBO
+    cfg_a = dataclasses.replace(CFG, map_capacity=1 << 15)
+    cfg_b = dataclasses.replace(CFG, map_capacity=3 * (1 << 13))  # 24576
+    _, est_a = slam.run_sequence(_frames(gt), INTR, cfg_a, init_pose=gt[0],
+                                 grow=False)
+    _, est_b = slam.run_sequence(_frames(gt), INTR, cfg_b, init_pose=gt[0],
+                                 grow=False)
+    np.testing.assert_allclose(est_a, est_b, atol=1e-7)
