@@ -215,8 +215,12 @@ class SLAMConfig:
     # SE(3) increment norm drops below this (GN contracts quadratically, so
     # the reference's fixed {10,5,4} budgets mostly run converged no-op
     # iterations at the finest level — each costs a full-image
-    # correspondence gather).  0 = fixed budgets (exact reference parity)
-    tracking_converge_eps: float = 1e-7
+    # correspondence gather).  0 = fixed budgets (exact reference parity).
+    # Default 0: at 640x480 the increments plateau ~1e-5 (linear, not
+    # quadratic, convergence — NOTES_R1), so a tiny eps never fires and the
+    # lax.while_loop it forces costs scheduler overhead vs the static
+    # fori_loop for nothing.
+    tracking_converge_eps: float = 0.0
     # run the HRBF implicit-surface raycast (predictHRBF) every N-th frame
     # and the cheap surfel-splat prediction (combinedPredict,
     # IndexMap.cpp:359-412) in between.  1 = reference parity (HRBF every
@@ -234,6 +238,17 @@ class SLAMConfig:
     # associations cost little accuracy.  1 = reference parity (re-gather
     # every iteration, as reduce.cu does)
     tracking_reassoc_period: int = 1
+    # decimate the CURRENT-frame pixel set of the finest-level GN
+    # iterations by this stride in both image dims (stride 2 = 4x fewer
+    # residual rows).  The model-side association table stays at full
+    # resolution, so correspondence precision is unchanged — only the
+    # sampling density of the (massively overdetermined) 6-DoF normal
+    # equations drops: ~77k rows still estimate 6 parameters.  The LAST
+    # ``tracking_subsample_full_iters`` finest-level iterations always run
+    # at full resolution to polish with every pixel.  1 = reference parity
+    # (reduce.cu runs every pixel every iteration).
+    tracking_subsample: int = 1
+    tracking_subsample_full_iters: int = 3
 
 
 DEFAULT_CONFIG = SLAMConfig()

@@ -187,6 +187,49 @@ def pack_joint(vmap_g: jnp.ndarray, nmap_g: jnp.ndarray,
         [base.reshape(P, 9), sh(0, 1), sh(1, 0), sh(1, 1)], axis=-1)
 
 
+class SubPixels(NamedTuple):
+    """Pose-invariant current-frame inputs of the subsampled GN iterations
+    (cfg.tracking_subsample): the per-pixel arrays joint_step/rgb_step read,
+    pre-gathered at a stride-decimated pixel grid."""
+
+    vcurr: jnp.ndarray        # (M,3) unprojected current depth
+    ncurr: jnp.ndarray        # (M,3)
+    valid: jnp.ndarray        # (M,) bool ICP validity gate
+    i_next: jnp.ndarray       # (M,) current intensity
+    static_valid: jnp.ndarray  # (M,) bool photometric static gate
+    gx: jnp.ndarray           # (M,) Sobel dI/dx
+    gy: jnp.ndarray           # (M,) Sobel dI/dy
+
+
+def pack_sub_pixels(stride: int, vmap_curr, nmap_curr, next_depth,
+                    next_image, static_valid, d_idx, d_idy,
+                    intr: CameraIntrinsics) -> SubPixels:
+    """Build the SubPixels bundle with ONE (M, 11) row gather at a static
+    stride-decimated pixel grid (strided slices of image-sized tensors pay
+    a layout shuffle on TPU; a flat gather at computed ids does not)."""
+    from ..core import camera
+
+    h, w = intr.height, intr.width
+    P = h * w
+    vcurr = camera.unproject(next_depth, intr).reshape(P, 3)
+    ncurr = nmap_curr.reshape(P, 3)
+    valid = ((vmap_curr.reshape(P, 3)[:, 2] > 0)
+             & (jnp.sum(ncurr * ncurr, axis=-1) > 0.25))
+    tbl = jnp.concatenate([
+        vcurr, ncurr, valid[:, None].astype(jnp.float32),
+        next_image.reshape(P, 1),
+        static_valid.reshape(P, 1).astype(jnp.float32),
+        d_idx.reshape(P, 1), d_idy.reshape(P, 1),
+    ], axis=-1)
+    yy = jnp.arange(0, h, stride, dtype=jnp.int32)
+    xx = jnp.arange(0, w, stride, dtype=jnp.int32)
+    ids = (yy[:, None] * w + xx[None, :]).reshape(-1)
+    r = tbl[ids]
+    return SubPixels(vcurr=r[:, 0:3], ncurr=r[:, 3:6], valid=r[:, 6] > 0.5,
+                     i_next=r[:, 7], static_valid=r[:, 8] > 0.5,
+                     gx=r[:, 9], gy=r[:, 10])
+
+
 def joint_cur_pack(vmap_curr, nmap_curr, next_depth, intr):
     """Pose-invariant per-pixel inputs of joint_step (current-frame vertex
     cloud, normals, validity), computed once per pyramid level instead of
@@ -215,6 +258,7 @@ def joint_step(
     do_gather: jnp.ndarray | None = None,   # () bool — re-gather this iter?
     nearest: bool = False,   # joint_rows from pack_joint_nearest (9-ch)
     cur_pack=None,           # optional hoisted (vcurr, ncurr, valid_curr)
+    sub: SubPixels | None = None,  # subsampled current-frame pixel set
 ):
     """Fused ICP + photometric correspondence pass sharing ONE row gather
     (the default-config fast path; identical math to icp_step(R=0) +
@@ -236,16 +280,24 @@ def joint_step(
     Returns (icp StepResult, RGBCorres, assoc (H*W, 9))."""
     from ..core import camera
 
-    h, w = vmap_curr.shape[:2]
-    n_pix = h * w
-    if cur_pack is not None:
+    h, w = intr.height, intr.width
+    if sub is not None:
+        # subsampled current-frame pixel set (tracking_subsample): all
+        # per-pixel inputs pre-gathered; the model table stays full-res
+        vcurr, ncurr, valid_curr = sub.vcurr, sub.ncurr, sub.valid
+        i_next = sub.i_next
+        static_valid = sub.static_valid
+    elif cur_pack is not None:
         # pose-invariant per-pixel quantities hoisted out of the GN loop
         vcurr, ncurr, valid_curr = cur_pack
+        i_next = next_image.reshape(h * w)
     else:
+        n_pix = h * w
         vcurr = camera.unproject(next_depth, intr).reshape(n_pix, 3)
         vmap_z = vmap_curr.reshape(n_pix, 3)[:, 2]
         ncurr = nmap_curr.reshape(n_pix, 3)
         valid_curr = (vmap_z > 0) & (jnp.sum(ncurr * ncurr, axis=-1) > 0.25)
+        i_next = next_image.reshape(n_pix)
 
     # full-precision warp: the TPU matmul default is bf16, which shifts the
     # warped coordinate by ~0.2 px — the reference's photometric warp is
@@ -338,7 +390,6 @@ def joint_step(
     # from the association rows) ----
     in_last = (u0f >= 0) & (v0f >= 0) & (u0f <= w - 1) & (v0f <= h - 1) & (z > 0)
     td1 = z
-    i_next = next_image.reshape(n_pix)
     depth_ok = (d0 > 0) & (jnp.abs(td1 - d0) <= cfg.max_depth_delta_rgb) & (i_last != 0)
     rgb_valid = static_valid & in_last & depth_ok
     diff = jnp.where(rgb_valid, i_next - i_last, 0.0)
@@ -594,8 +645,6 @@ def rgb_step(
     """Photometric 6-DoF normal equations (reduce.cu:697-896).  The 3-D
     cloud point at the matched LAST pixel is derived from the gathered depth
     (cloud = unproject(u0, v0, d0)) instead of gathering a cloud map."""
-    h, w = d_idx.shape
-    n_pix = h * w
     valid = corres.valid
     wgt = sigma_val + jnp.abs(corres.diff)
     wgt = jnp.where(wgt > 1.19209290e-07, 1.0 / wgt, 1.0)
@@ -609,8 +658,8 @@ def rgb_step(
     cz = d0
 
     invz = 1.0 / jnp.maximum(cz, 1e-12)
-    gx = d_idx.reshape(n_pix)
-    gy = d_idy.reshape(n_pix)
+    gx = d_idx.reshape(-1)   # accepts (H,W) maps or pre-subsampled (M,)
+    gy = d_idy.reshape(-1)
     dix = wgt * cfg.sobel_scale * gx
     diy = wgt * cfg.sobel_scale * gy
     v0 = dix * intr.fx * invz

@@ -15,6 +15,7 @@ per level, no host round-trips.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -308,7 +309,7 @@ def track(
 
         def body(it, carry, lvl=lvl, li=li, K=K, Kinv=Kinv, d_idx=d_idx,
                  d_idy=d_idy, model_rows=model_rows, last_rows=last_rows,
-                 static_valid=static_valid):
+                 static_valid=static_valid, sub=None):
             assoc = None
             if use_sparse:
                 result_rt, lastA, lastb, st, lam = carry
@@ -340,11 +341,19 @@ def track(
                     li, cfg,
                     assoc_prev=assoc if reassoc > 1 else None,
                     do_gather=(it % reassoc == 0) if reassoc > 1 else None,
-                    nearest=cfg.tracking_rgb_nearest, cur_pack=cur_pack)
+                    nearest=cfg.tracking_rgb_nearest, cur_pack=cur_pack,
+                    sub=sub)
+                # subsampled iterations keep the robustifier scale of the
+                # full set: sigmaVal = sqrt(count) (the reference's quirk,
+                # RGBDOdometry.cpp:1017) is multiplied by the stride so
+                # sqrt(count_sub)*stride ~ sqrt(count_full)
+                sv_scale = float(cfg.tracking_subsample) if sub is not None else 1.0
                 sigma_val = jnp.where(
                     rgb_only, jnp.float32(-1.0),
-                    jnp.sqrt(jnp.maximum(corres.count, 1.0)))
-                rgb_res = icp_ops.rgb_step(corres, sigma_val, d_idx, d_idy, li, cfg)
+                    jnp.sqrt(jnp.maximum(corres.count, 1.0)) * sv_scale)
+                gxa = sub.gx if sub is not None else d_idx
+                gya = sub.gy if sub is not None else d_idy
+                rgb_res = icp_ops.rgb_step(corres, sigma_val, gxa, gya, li, cfg)
                 w = cfg.icp_weight
                 A = rgb_res.A + (w * w) * icp_res.A
                 b = rgb_res.b + w * icp_res.b
@@ -424,7 +433,24 @@ def track(
             carry = (result_rt, lastA, lastb, stats, assoc0)
         else:
             carry = (result_rt, lastA, lastb, stats)
-        carry = _gn_loop(body, iters[lvl], carry, cfg.tracking_converge_eps)
+        # finest-level pixel subsampling (cfg.tracking_subsample): the
+        # first iterations run on a stride-decimated current-frame pixel
+        # set, the last tracking_subsample_full_iters at full resolution
+        n_sub = 0
+        if (lvl == 0 and use_joint and reassoc == 1
+                and cfg.tracking_subsample > 1):
+            n_sub = max(0, iters[0] - min(cfg.tracking_subsample_full_iters,
+                                          iters[0]))
+        if n_sub:
+            sub = icp_ops.pack_sub_pixels(
+                cfg.tracking_subsample, inp.next_vmap[lvl],
+                inp.next_nmap[lvl], inp.next_depth[lvl],
+                inp.next_intensity[lvl], static_valid, d_idx, d_idy, li)
+            carry = _gn_loop(
+                functools.partial(body, sub=sub), n_sub, carry,
+                cfg.tracking_converge_eps)
+        carry = _gn_loop(body, iters[lvl] - n_sub, carry,
+                         cfg.tracking_converge_eps)
         if use_sparse or reassoc > 1:
             result_rt, lastA, lastb, stats, _ = carry
         else:

@@ -42,6 +42,12 @@ VARIANTS = {
     "crowd4": {"clean_crowd_period": 4},
     "eps1e-5": {"tracking_converge_eps": 1e-5},
     "eps3e-5": {"tracking_converge_eps": 3e-5},
+    "sub2f3": {"tracking_subsample": 2},
+    "sub2f2": {"tracking_subsample": 2, "tracking_subsample_full_iters": 2},
+    "sub2f1": {"tracking_subsample": 2, "tracking_subsample_full_iters": 1},
+    "sub3f3": {"tracking_subsample": 3},
+    "crowd8": {"clean_crowd_period": 8},
+    "compact8": {"clean_compact_period": 8},
 }
 if os.environ.get("ATE_VARIANTS"):
     keep = os.environ["ATE_VARIANTS"].split(",")

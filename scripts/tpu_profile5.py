@@ -22,7 +22,7 @@ from hrbffusion3d_tpu.eval import synth
 from hrbffusion3d_tpu.pipeline import slam
 
 intr = TUM1
-cfg = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2,
+cfg = SLAMConfig(map_capacity=393216, predict_conf_threshold=0.2,
                  use_pallas_raycast=True, clean_compact_period=4,
                  raycast_block_height=16, raycast_bisection_iters=6,
                  raycast_false_position=3, clean_crowd_period=4)

@@ -362,3 +362,60 @@ def test_fused_pyramids_match_per_map():
             np.testing.assert_allclose(
                 np.asarray(xa), np.asarray(xb), atol=2e-5,
                 err_msg=f"{name} level {lvl}")
+
+
+def test_subsample_stride1_is_identity():
+    """tracking_subsample=1 grid == full pixel set: the sub path with
+    stride 1 must produce the bit-identical joint system (pack_sub_pixels
+    at stride 1 gathers every pixel in order)."""
+    import dataclasses
+
+    pose0 = np.eye(4, dtype=np.float32)
+    d1, i1, pre1 = _make_frame(pose0)
+    vg = jnp.where(pre1.vertex_filtered[..., 2:3] > 0, pre1.vertex_filtered, 0.0)
+    ng = jnp.where(pre1.vertex_filtered[..., 2:3] > 0, pre1.normal, 0.0)
+    wmap = jnp.ones_like(d1)
+    ldep = jnp.where(pre1.vertex_filtered[..., 2] > 0,
+                     pre1.vertex_filtered[..., 2], 0.0)
+    joint_rows = icp_ops.pack_joint_nearest(vg, ng, wmap, ldep, i1)
+    d_idx, d_idy = pyramid.sobel_derivatives(i1)
+    min_scale = (CFG.min_gradient_magnitudes[0] ** 2) / (CFG.sobel_scale ** 2)
+    sv = icp_ops.rgb_static_valid(i1, d_idx, d_idy, d1, min_scale)
+    eye3, zero3 = jnp.eye(3), jnp.zeros(3)
+
+    icp_f, cor_f, _ = icp_ops.joint_step(
+        eye3, zero3, eye3, zero3, pre1.vertex_filtered, pre1.normal, d1,
+        joint_rows, i1, sv, INTR, CFG, nearest=True)
+    sub = icp_ops.pack_sub_pixels(1, pre1.vertex_filtered, pre1.normal, d1,
+                                  i1, sv, d_idx, d_idy, INTR)
+    icp_s, cor_s, _ = icp_ops.joint_step(
+        eye3, zero3, eye3, zero3, None, None, None,
+        joint_rows, None, None, INTR, CFG, nearest=True, sub=sub)
+    np.testing.assert_array_equal(np.asarray(icp_f.A), np.asarray(icp_s.A))
+    np.testing.assert_array_equal(np.asarray(icp_f.b), np.asarray(icp_s.b))
+    np.testing.assert_array_equal(np.asarray(cor_f.diff), np.asarray(cor_s.diff))
+    rgb_f = icp_ops.rgb_step(cor_f, jnp.sqrt(jnp.maximum(cor_f.count, 1.0)),
+                             d_idx, d_idy, INTR, CFG)
+    rgb_s = icp_ops.rgb_step(cor_s, jnp.sqrt(jnp.maximum(cor_s.count, 1.0)),
+                             sub.gx, sub.gy, INTR, CFG)
+    np.testing.assert_array_equal(np.asarray(rgb_f.A), np.asarray(rgb_s.A))
+
+
+def test_subsample_tracks():
+    """Stride-2 finest-level subsampling still recovers the pose of a
+    moderate motion (the decimated normal equations estimate the same 6
+    DoF; the last full-res iterations polish)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, tracking_rgb_nearest=True, tracking_subsample=2,
+        tracking_subsample_full_iters=3, pyramid_iterations=(10, 5, 4),
+    )
+    pose0 = np.eye(4, dtype=np.float32)
+    pose1 = pose0.copy()
+    pose1[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray([0.008, -0.012, 0.006])))
+    pose1[:3, 3] = [0.015, -0.008, 0.012]
+    est, _ = _track_pair(pose0, pose1, cfg)
+    terr, rerr = _pose_err(est, pose1)
+    assert terr < 0.004, terr
+    assert rerr < 0.25, rerr
