@@ -59,13 +59,15 @@ class BowDatabase:
         self.vectors.append(v)
         return len(self.vectors) - 1
 
-    def query(self, idx: int, exclude_recent: int = 3):
-        """Scores of entry ``idx`` against all earlier entries, excluding the
-        ``exclude_recent`` immediately preceding (covisible) ones."""
+    def query(self, idx: int, exclude=()):
+        """Scores of entry ``idx`` against all earlier entries.  ``exclude``
+        (the query's covisible set — LoopClosing.cc:209 excludes keyframes
+        connected to the current one) are forced to -1."""
         if idx < 1:
             return np.zeros((0,))
         db = np.stack(self.vectors[:idx])
         scores = np.array(l1_score(jnp.asarray(self.vectors[idx]), jnp.asarray(db)))
-        cut = max(0, idx - exclude_recent)
-        scores[cut:] = -1.0
+        for k in exclude:
+            if 0 <= k < idx:
+                scores[k] = -1.0
         return scores

@@ -61,12 +61,15 @@ class SparseBackend:
     def __init__(self, intr: CameraIntrinsics, cfg: SLAMConfig,
                  n_features: int = 1024, local_window: int = 5,
                  fast_threshold: float = 12.0, sigma_px: float = 1.0,
-                 mesh=None):
+                 mesh=None, proj_gate_px: float = 4.0):
         self.intr = intr
         self.cfg = cfg
         self.n_features = n_features
         self.local_window = local_window
         self.fast_threshold = fast_threshold
+        # SearchByProjection window radius (ORBmatcher th) used when
+        # associating new-keyframe keypoints to existing landmarks
+        self.proj_gate_px = proj_gate_px
         # keypoint localisation noise fed to the information matrices; the
         # reference uses the ORB octave sigma (Optimizer.cc:1217)
         self.sigma_px = sigma_px
@@ -131,7 +134,14 @@ class SparseBackend:
 
         # match against the last few keyframes (SearchInNeighbors,
         # LocalMapping.cc:78) so new keyframes tie directly to older,
-        # well-constrained poses instead of only chaining through the last
+        # well-constrained poses instead of only chaining through the last.
+        # Matches are projection-gated like the reference's
+        # SearchByProjection (ORBmatcher.cc:1247+): the landmark, projected
+        # into the new keyframe under its pose estimate, must land within a
+        # search radius of the keypoint — descriptor-only matching would
+        # keep re-associating old landmarks across accumulated drift and
+        # hide loops inside the covisibility graph.
+        Tcw_new = np.linalg.inv(pose)
         for prev in self.keyframes[-3:][::-1]:
             m = features.match(
                 kp,
@@ -149,6 +159,15 @@ class SparseBackend:
                 j = midx[i]
                 lid = prev.landmark_ids[j]
                 if lid >= 0:
+                    X = self.landmarks[lid]
+                    pc = Tcw_new[:3, :3] @ X + Tcw_new[:3, 3]
+                    if pc[2] <= 0:
+                        continue
+                    u = self.intr.fx * pc[0] / pc[2] + self.intr.cx
+                    v = self.intr.fy * pc[1] / pc[2] + self.intr.cy
+                    if ((u - xy[i, 0]) ** 2 + (v - xy[i, 1]) ** 2
+                            > self.proj_gate_px ** 2):
+                        continue
                     lm_ids[i] = lid
                     self.lm_obs[lid].append((kf_id, int(i)))
 

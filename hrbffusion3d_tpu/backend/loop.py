@@ -70,41 +70,95 @@ class LoopCloser:
     """Host-side loop-closure driver over a SparseBackend keyframe graph."""
 
     def __init__(self, backend: SparseBackend, n_words: int = 512,
-                 min_score: float = 0.10, min_inliers: int = 20,
-                 consistency: int = 1):
+                 min_score: float = 0.05, min_inliers: int = 20,
+                 consistency: int = 1, covis_min_shared: int = 15):
         self.backend = backend
         self.db = bow.BowDatabase(n_words)
+        # absolute floor under the covisible-relative threshold: the
+        # reference derives the candidate threshold from the LOWEST BoW score
+        # of the query against its covisible neighbours (LoopClosing.cc:
+        # 120-133); min_score only guards degenerate maps with no covisibles
         self.min_score = min_score
         self.min_inliers = min_inliers
-        # DetectLoop requires the candidate region to be re-detected over
-        # ``mnCovisibilityConsistencyTh`` consecutive keyframes
-        # (LoopClosing.cc:169-234); consistency=1 disables the wait.
+        # DetectLoop requires the candidate's covisibility group to be
+        # re-detected over ``mnCovisibilityConsistencyTh`` consecutive
+        # keyframes (LoopClosing.cc:169-234); consistency=1 disables the wait.
         self.consistency = consistency
-        self._consistent_hits: dict[int, int] = {}
+        self.covis_min_shared = covis_min_shared
+        # list of (covisibility group frozenset, consecutive detections)
+        self._consistent_groups: list[tuple[frozenset, int]] = []
         self.loop_edges: list[tuple[int, int, np.ndarray]] = []
 
     # ------------------------------------------------------------------ #
+    def _covis_group(self, kf_id: int) -> frozenset:
+        return frozenset(
+            [kf_id] + self.backend.covisible_keyframes(
+                kf_id, min_shared=self.covis_min_shared))
+
     def add_keyframe(self, kf_id: int) -> Optional[LoopCandidate]:
-        """DetectLoop for the given (already inserted) keyframe; returns a
-        verified candidate or None."""
+        """DetectLoop for the given (already inserted) keyframe
+        (LoopClosing.cc:107-234): threshold = min covisible-neighbour score,
+        candidates outside the covisible set, covisibility-consistency
+        grouping over consecutive keyframes, then geometric verification."""
         kf = self.backend.keyframes[kf_id]
         assert self.db.add(jnp.asarray(kf.desc), jnp.asarray(kf.kp_valid)) == kf_id
-        scores = self.db.query(kf_id)
+        covis = self._covis_group(kf_id)
+        scores = self.db.query(kf_id, exclude=covis)
         if scores.size == 0:
             return None
-        best = int(np.argmax(scores))
-        if scores[best] < self.min_score:
-            self._consistent_hits.clear()
-            return None
-        # consistency check over consecutive detections of the same region
-        region = best // 3  # coarse region bucket (covisibility stand-in)
-        hits = self._consistent_hits.get(region, 0) + 1
-        self._consistent_hits = {region: hits}
-        if hits < self.consistency:
-            return None
-        cand = self.backend.keyframes[best]
 
-        # geometric verification: descriptor matches -> 3D-3D alignment
+        # covisible-relative threshold (LoopClosing.cc:120-133): lowest
+        # score of the query against its own covisible neighbours
+        all_scores = self.db.query(kf_id)  # unexcluded, for neighbour scores
+        neigh = [k for k in covis if 0 <= k < kf_id]
+        if neigh:
+            thresh = max(self.min_score, min(all_scores[k] for k in neigh))
+        else:
+            thresh = self.min_score
+
+        cand_ids = [int(k) for k in np.argsort(scores)[::-1]
+                    if scores[k] >= thresh]
+        if not cand_ids:
+            self._consistent_groups = []
+            return None
+
+        # covisibility-consistency groups (LoopClosing.cc:169-234): each
+        # candidate expands to its covisibility group; a candidate is
+        # "enough consistent" once its group chains through shared members
+        # over ``consistency`` consecutive detections
+        new_groups: list[tuple[frozenset, int]] = []
+        enough: list[int] = []
+        prev_extended = [False] * len(self._consistent_groups)
+        for c in cand_ids:
+            group = self._covis_group(c)
+            count = 1
+            matched_prev = False
+            for gi, (pg, pc) in enumerate(self._consistent_groups):
+                if not prev_extended[gi] and group & pg:
+                    count = pc + 1
+                    prev_extended[gi] = True
+                    matched_prev = True
+                    break
+            new_groups.append((group, count))
+            if count >= self.consistency and (matched_prev
+                                              or self.consistency <= 1):
+                enough.append(c)
+        self._consistent_groups = new_groups
+        if not enough:
+            return None
+
+        # geometric verification (best-scoring enough-consistent candidate
+        # first): descriptor matches -> robust 3D-3D alignment
+        for best in enough:
+            out = self._verify(kf, kf_id, best, float(scores[best]))
+            if out is not None:
+                self._consistent_groups = []
+                return out
+        return None
+
+    def _verify(self, kf, kf_id: int, best: int,
+                score: float) -> Optional[LoopCandidate]:
+        cand = self.backend.keyframes[best]
         m = features.match(
             features.Keypoints(
                 xy=jnp.asarray(kf.kp_xy), score=jnp.zeros(kf.kp_xy.shape[0]),
@@ -133,46 +187,105 @@ class LoopCloser:
         if n_in < self.min_inliers:
             return None
         return LoopCandidate(
-            query_kf=kf_id, match_kf=best, score=float(scores[best]),
+            query_kf=kf_id, match_kf=best, score=score,
             rel_pose=T_cq, n_inliers=n_in,
         )
 
     # ------------------------------------------------------------------ #
+    # essential graph structure (Optimizer::OptimizeEssentialGraph,
+    # Optimizer.cc:1352+): covisibility edges above this weight join the
+    # spanning tree and loop edges
+    ESSENTIAL_MIN_FEAT = 100
+
+    def _covis_counts(self) -> np.ndarray:
+        """(K,K) shared-landmark counts between keyframe pairs."""
+        be = self.backend
+        K = len(be.keyframes)
+        W = np.zeros((K, K), np.int32)
+        for obs in be.lm_obs.values():
+            kfs = sorted({k for k, _ in obs})
+            for a in range(len(kfs)):
+                for b in range(a + 1, len(kfs)):
+                    W[kfs[a], kfs[b]] += 1
+                    W[kfs[b], kfs[a]] += 1
+        return W
+
+    def _essential_edges(self, cand: LoopCandidate, old_poses: np.ndarray):
+        """Spanning tree + strong covisibility edges + all prior loop edges
+        + the new loop edge (the reference's essential graph,
+        Optimizer.cc:1395-1520; edge informations are identity there too,
+        matLambda)."""
+        K = len(self.backend.keyframes)
+        W = self._covis_counts()
+        edges: dict[tuple[int, int], np.ndarray] = {}
+
+        def add(i, j, Z):
+            if i == j:
+                return
+            if i > j:
+                i, j, Z = j, i, np.linalg.inv(Z)
+            edges.setdefault((i, j), Z)
+
+        # spanning tree: parent = strongest-covisibility earlier keyframe
+        # (KeyFrame::ChangeParent semantics), falling back to the previous
+        for k in range(1, K):
+            parent = int(np.argmax(W[k, :k])) if W[k, :k].max() > 0 else k - 1
+            add(parent, k, np.linalg.inv(old_poses[parent]) @ old_poses[k])
+        # covisibility edges with weight >= minFeat (Optimizer.cc:1484)
+        for i in range(K):
+            for j in range(i + 1, K):
+                if W[i, j] >= self.ESSENTIAL_MIN_FEAT:
+                    add(i, j, np.linalg.inv(old_poses[i]) @ old_poses[j])
+        # prior loop edges (KeyFrame::GetLoopEdges, Optimizer.cc:1437-1457)
+        for mi, qi, rel in self.loop_edges:
+            add(mi, qi, rel)
+        # the new loop edge: rel maps query-cam -> match-cam coords, so
+        # Z_match,query = pose_match^-1 pose_query = rel (verified in
+        # tests/test_loop.py::test_loop_edge_convention)
+        add(cand.match_kf, cand.query_kf, cand.rel_pose)
+        return edges
+
     def correct(self, cand: LoopCandidate, run_global_ba: bool = True):
-        """CorrectLoop: pose-graph optimisation with the loop edge, then
-        global BA; returns per-keyframe delta transforms for the dense map
-        (same contract as SparseBackend.local_ba)."""
+        """CorrectLoop (LoopClosing.cc:407-599): pre-correct the query-side
+        covisible group by the measured loop constraint, optimise the
+        essential graph, fuse loop-side landmark duplicates into the
+        corrected side (SearchAndFuse, l.550), then global BA; returns
+        per-keyframe delta transforms for the dense map (same contract as
+        SparseBackend.local_ba)."""
         be = self.backend
         K = len(be.keyframes)
         old_poses = np.stack([kf.pose for kf in be.keyframes])
 
-        edges_i, edges_j, meas = [], [], []
-        # odometry chain edges from current estimates
-        for i in range(K - 1):
-            edges_i.append(i)
-            edges_j.append(i + 1)
-            meas.append(np.linalg.inv(old_poses[i]) @ old_poses[i + 1])
-        # loop edge: measured relative pose between match and query cameras.
-        # T_match_world^-1 T_query_world == inv(rel) since rel maps query-cam
-        # points into match-cam coords: T_mq = T_match^-1 T_query = rel^-1...
-        # rel_pose maps q_query -> q_match => T_match_cam<-query_cam = rel
-        # and pose_match^-1 @ pose_query should equal rel^-1.
-        edges_i.append(cand.match_kf)
-        edges_j.append(cand.query_kf)
-        meas.append(np.linalg.inv(cand.rel_pose))
-
+        edges = self._essential_edges(cand, old_poses)
+        edges_i = [i for i, _ in edges]
+        edges_j = [j for _, j in edges]
+        meas = [edges[(i, j)] for i, j in edges]
         E = len(edges_i)
         info = np.tile(np.eye(6, dtype=np.float32)[None], (E, 1, 1))
-        info[-1] *= 10.0  # trust the verified loop edge strongly
+
+        # initial estimates: propagate the measured loop correction to the
+        # query's covisible group (CorrectLoop l.450-525) so GN starts near
+        # the corrected configuration
+        init = old_poses.copy()
+        corrected_q = old_poses[cand.match_kf] @ cand.rel_pose
+        d_corr = corrected_q @ np.linalg.inv(old_poses[cand.query_kf])
+        for k in self._covis_group(cand.query_kf):
+            init[k] = d_corr @ old_poses[k]
+
+        # gauge: the loop keyframe is held (Optimizer.cc:1379) along with
+        # the map origin
+        fixed = np.zeros((K,), bool)
+        fixed[0] = True
+        fixed[cand.match_kf] = True
 
         g = posegraph.PoseGraph(
-            poses=jnp.asarray(old_poses.astype(np.float32)),
+            poses=jnp.asarray(init.astype(np.float32)),
             edge_i=jnp.asarray(edges_i, jnp.int32),
             edge_j=jnp.asarray(edges_j, jnp.int32),
             meas=jnp.asarray(np.stack(meas).astype(np.float32)),
             info=jnp.asarray(info),
             edge_valid=jnp.ones((E,)),
-            fixed=jnp.zeros((K,), bool).at[0].set(True),
+            fixed=jnp.asarray(fixed),
         )
         g_opt, _ = posegraph.optimize(g, iterations=25)
         new_poses = np.asarray(g_opt.poses)
@@ -188,6 +301,16 @@ class LoopCloser:
             kf.pose = new_poses[k].astype(np.float32)
 
         self.loop_edges.append((cand.match_kf, cand.query_kf, cand.rel_pose))
+
+        # SearchAndFuse (LoopClosing.cc:550): project the loop-side
+        # landmarks into the corrected query-side keyframes and merge
+        # duplicates (MapPoint::Replace via _fuse_into)
+        loop_group = self._covis_group(cand.match_kf)
+        loop_lms: list[int] = sorted({
+            int(l) for k in loop_group
+            for l in be.keyframes[k].landmark_ids if l >= 0})
+        for k in self._covis_group(cand.query_kf):
+            be._fuse_into(k, loop_lms, th=4.0)
 
         if run_global_ba:
             deltas_ba = self._global_ba(old_poses)

@@ -41,6 +41,9 @@ class ShardedBA(NamedTuple):
     info: jnp.ndarray        # (D*Es, 3, 3)
     edge_valid: jnp.ndarray  # (D*Es,)
     fixed: jnp.ndarray       # (C,) replicated
+    pair_e: jnp.ndarray      # (D*Ps,) LOCAL edge index of Schur pair lhs
+    pair_f: jnp.ndarray      # (D*Ps,) LOCAL edge index of Schur pair rhs
+    pair_valid: jnp.ndarray  # (D*Ps,) padding mask (padded pairs alias edge 0)
 
 
 def partition_problem(prob: ba.BAProblem, n_devices: int) -> ShardedBA:
@@ -69,6 +72,24 @@ def partition_problem(prob: ba.BAProblem, n_devices: int) -> ShardedBA:
     flat = np.asarray(prob.points)
     pts.reshape(-1, 3)[:L] = flat
 
+    # per-shard Schur pair lists over LOCAL edge slots (ba.build_pairs on
+    # each shard), padded to a common Ps with pairs aliasing edge 0
+    lm_local = padded(local.astype(np.int32))
+    valid = padded(np.asarray(prob.edge_valid).astype(np.float32))
+    shard_pairs = []
+    for d in range(n_devices):
+        n_live = int(counts[d]) if d < counts.shape[0] else 0
+        pr = ba.build_pairs(np.zeros(n_live, np.int32), lm_local[d, :n_live])
+        shard_pairs.append((np.asarray(pr.e), np.asarray(pr.f)))
+    Ps = max(1, max(p[0].shape[0] for p in shard_pairs))
+    pe = np.zeros((n_devices, Ps), np.int32)
+    pf = np.zeros((n_devices, Ps), np.int32)
+    pv = np.zeros((n_devices, Ps), np.float32)
+    for d, (e_, f_) in enumerate(shard_pairs):
+        pe[d, :e_.shape[0]] = e_
+        pf[d, :f_.shape[0]] = f_
+        pv[d, :e_.shape[0]] = 1.0
+
     # flatten the device axis: shard_map's P("map") splits the leading
     # axis, so per-device blocks are stored contiguously
     return ShardedBA(
@@ -78,13 +99,17 @@ def partition_problem(prob: ba.BAProblem, n_devices: int) -> ShardedBA:
         cam_idx=jnp.asarray(padded(np.asarray(prob.cam_idx)).reshape(-1)),
         lm_idx=jnp.asarray(padded(local.astype(np.int32)).reshape(-1)),
         info=jnp.asarray(padded(np.asarray(prob.info)).reshape(n_devices * Es, 3, 3)),
-        edge_valid=jnp.asarray(padded(np.asarray(prob.edge_valid)).reshape(-1)),
+        edge_valid=jnp.asarray(valid.reshape(-1)),
         fixed=prob.fixed,
+        pair_e=jnp.asarray(pe.reshape(-1)),
+        pair_f=jnp.asarray(pf.reshape(-1)),
+        pair_valid=jnp.asarray(pv.reshape(-1)),
     )
 
 
 def _local_iteration(cams, points, obs, cam_idx, lm_idx, info, edge_valid,
-                     fixed, robust: bool, damping: float = 1e-6):
+                     fixed, pair_e, pair_f, pair_valid, robust: bool,
+                     damping: float = 1e-6):
     """Runs inside shard_map: everything except ``cams``/``fixed`` is the
     device-local shard (Ls landmarks, Es edges)."""
     C = cams.shape[0]
@@ -121,12 +146,16 @@ def _local_iteration(cams, points, obs, cam_idx, lm_idx, info, edge_valid,
     bl = jnp.zeros((Ls, 3)).at[lm_idx].add(bl_e)
     Hll_inv = jnp.linalg.inv(Hll + (damping + 1e-12) * jnp.eye(3))
 
-    Wmat = jnp.zeros((C, Ls, 6, 3)).at[cam_idx, lm_idx].add(W_e)
-    Ymat = jnp.einsum("clik,lkj->clij", Wmat, Hll_inv)
-    S_local = jnp.zeros((C, C, 6, 6))
-    S_local = S_local.at[jnp.arange(C), jnp.arange(C)].set(Hcc)
-    S_local = S_local - jnp.einsum("alik,bljk->abij", Ymat, Wmat)
-    rhs_local = bc - jnp.einsum("alik,lk->ai", Ymat, bl)
+    # edge-pair Schur accumulation (same structure as backend/ba.py
+    # _solve_dense): no (C, Ls) dense tensors, O(Ps) per shard
+    Y_e = jnp.einsum("eij,ejk->eik", W_e, Hll_inv[lm_idx])  # (Es,6,3)
+    contrib = jnp.einsum("pik,pjk->pij", Y_e[pair_e],
+                         W_e[pair_f]) * pair_valid[:, None, None]
+    S_local = jnp.zeros((C, C, 6, 6)).at[
+        cam_idx[pair_e], cam_idx[pair_f]].add(-contrib)
+    S_local = S_local.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
+    rhs_local = bc - jnp.zeros((C, 6)).at[cam_idx].add(
+        jnp.einsum("eik,ek->ei", Y_e, bl[lm_idx]))
 
     # ---- THE collective: combine partial camera systems over the mesh ----
     S = jax.lax.psum(S_local, "map")
@@ -145,7 +174,8 @@ def _local_iteration(cams, points, obs, cam_idx, lm_idx, info, edge_valid,
     dx_cam = jnp.where(fixed[:, None], 0.0, dx_cam)
 
     # local landmark back-substitution
-    WtDx = jnp.einsum("clik,ci->lk", Wmat, dx_cam)
+    WtDx = jnp.zeros((Ls, 3)).at[lm_idx].add(
+        jnp.einsum("eki,ek->ei", W_e, dx_cam[cam_idx]))
     dx_lm = jnp.einsum("lij,lj->li", Hll_inv, bl - WtDx)
     dx_lm = jnp.where(jnp.isfinite(dx_lm), dx_lm, 0.0)
 
@@ -160,12 +190,13 @@ def make_optimizer(mesh: Mesh, iters_robust: int = 5, iters_final: int = 10):
 
     @jax.jit
     def run(sb: ShardedBA):
-        def inner(cams, points, obs, cam_idx, lm_idx, info, edge_valid, fixed):
+        def inner(cams, points, obs, cam_idx, lm_idx, info, edge_valid, fixed,
+                  pair_e, pair_f, pair_valid):
             def rb(_, carry):
                 cams, points, chi = carry
                 cams, points, chi = _local_iteration(
                     cams, points, obs, cam_idx, lm_idx, info, edge_valid,
-                    fixed, robust=True)
+                    fixed, pair_e, pair_f, pair_valid, robust=True)
                 return cams, points, chi
 
             cams, points, chi = jax.lax.fori_loop(
@@ -182,7 +213,7 @@ def make_optimizer(mesh: Mesh, iters_robust: int = 5, iters_final: int = 10):
                 cams, points, chi = carry
                 cams, points, chi = _local_iteration(
                     cams, points, obs, cam_idx, lm_idx, info, ev, fixed,
-                    robust=False)
+                    pair_e, pair_f, pair_valid, robust=False)
                 return cams, points, chi
 
             cams, points, chi = jax.lax.fori_loop(
@@ -191,11 +222,11 @@ def make_optimizer(mesh: Mesh, iters_robust: int = 5, iters_final: int = 10):
 
         return jax.shard_map(
             inner, mesh=mesh,
-            in_specs=(rep, shd, shd, shd, shd, shd, shd, rep),
+            in_specs=(rep, shd, shd, shd, shd, shd, shd, rep, shd, shd, shd),
             out_specs=(rep, shd, rep),
             check_vma=False,
         )(sb.cams, sb.points, sb.obs, sb.cam_idx, sb.lm_idx, sb.info,
-          sb.edge_valid, sb.fixed)
+          sb.edge_valid, sb.fixed, sb.pair_e, sb.pair_f, sb.pair_valid)
 
     return run
 
