@@ -80,5 +80,41 @@ def host_local_batch(mesh: Mesh, local_depth: np.ndarray,
     return FrameInput(depth=depth, rgb=rgb)
 
 
+def globalize_sharded_ba(sb, mesh: Mesh, axis: str = "map"):
+    """Convert a host-side ShardedBA (same full content built on every
+    process — the problem is deterministic host data) into globally-sharded
+    arrays for a multi-controller ``dist_ba.make_optimizer`` run: leading
+    axes of per-landmark/edge/pair arrays shard over ``axis``; cams/fixed
+    replicate.  In single-process mode this is a plain device_put."""
+    from jax.experimental import multihost_utils
+
+    from .dist_ba import ShardedBA
+
+    def shard(x):
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        n = x.shape[0]
+        per = n // jax.process_count()
+        lo = jax.process_index() * per
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(axis)), x[lo:lo + per], x.shape)
+
+    def repl(x):
+        x = np.asarray(x)
+        if jax.process_count() == 1:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return multihost_utils.host_local_array_to_global_array(
+            x, mesh, P())
+
+    return ShardedBA(
+        cams=repl(sb.cams), points=shard(sb.points), obs=shard(sb.obs),
+        cam_idx=shard(sb.cam_idx), lm_idx=shard(sb.lm_idx),
+        info=shard(sb.info), edge_valid=shard(sb.edge_valid),
+        fixed=repl(sb.fixed), pair_e=shard(sb.pair_e),
+        pair_f=shard(sb.pair_f), pair_valid=shard(sb.pair_valid),
+    )
+
+
 def is_coordinator() -> bool:
     return jax.process_index() == 0

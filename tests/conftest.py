@@ -25,6 +25,11 @@ assert jax.devices()[0].platform == "cpu"
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test (subprocess spawns)")
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches():
     """XLA's CPU client segfaults on large compilations late in a long
