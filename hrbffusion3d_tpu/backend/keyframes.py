@@ -42,9 +42,63 @@ class Keyframe:
     kp_valid: np.ndarray             # (N,) bool (has descriptor + depth)
     landmark_ids: np.ndarray         # (N,) int64, -1 = none
     kp_level: Optional[np.ndarray] = None   # (N,) int32 pyramid octave
+    kp_info: Optional[np.ndarray] = None    # (N,3,3) per-keypoint information
 
 
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def patch_information(depth: np.ndarray, xy: np.ndarray,
+                      intr: CameraIntrinsics, radius: int = 6,
+                      z_min: float = 0.3, sigma_px: float = 1.0) -> np.ndarray:
+    """Per-keypoint empirical 3x3 information from the (2*radius+1)^2
+    depth-patch covariance, the reference's PreProcessFrame estimator
+    (HRBFFusion.cpp:596-677): unproject every valid depth in the window,
+    take the per-axis variance, info = diag(1/var).  Computed in meters
+    (the reference works in mm; only the scale differs).  Deviation: axes
+    whose empirical variance is degenerate (uniform synthetic depth, tiny
+    patch) are floored by the parametric Kinect model's variance instead of
+    dividing by ~0; keypoints with an empty patch get zero information
+    (their edges contribute nothing, as in the reference)."""
+    N = xy.shape[0]
+    D = 2 * radius + 1
+    h, w = depth.shape
+    ox, oy = np.meshgrid(np.arange(-radius, radius + 1),
+                         np.arange(-radius, radius + 1), indexing="ij")
+    off = np.stack([ox.ravel(), oy.ravel()], -1)                 # (D*D, 2)
+    cx = np.floor(xy[:, 0]).astype(int)[:, None] + off[None, :, 0]
+    cy = np.floor(xy[:, 1]).astype(int)[:, None] + off[None, :, 1]
+    inb = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    z = depth[np.clip(cy, 0, h - 1), np.clip(cx, 0, w - 1)]
+    ok = inb & (z > z_min)                                        # (N, D*D)
+    x = (cx - intr.cx) * z / intr.fx
+    y = (cy - intr.cy) * z / intr.fy
+    pts = np.stack([x, y, z], -1)                                 # (N, D*D, 3)
+    cnt = ok.sum(-1)
+    cnt_safe = np.maximum(cnt, 1)[:, None]
+    mean = (pts * ok[..., None]).sum(1) / cnt_safe
+    var = (((pts - mean[:, None]) ** 2) * ok[..., None]).sum(1) / cnt_safe
+
+    # parametric floor: diag of J diag(s_px^2,s_px^2,s_z^2) J^T at the
+    # keypoint's own unprojection (ba.depth_information's model)
+    kz = depth[np.clip(np.floor(xy[:, 1]).astype(int), 0, h - 1),
+               np.clip(np.floor(xy[:, 0]).astype(int), 0, w - 1)]
+    kz = np.maximum(kz, z_min)
+    kx = (xy[:, 0] - intr.cx) * kz / intr.fx
+    ky = (xy[:, 1] - intr.cy) * kz / intr.fy
+    sz = np.maximum(0.00273 * kz * kz + 0.00074 * kz - 0.00058, 1e-5)
+    floor = np.stack([
+        (kz / intr.fx * sigma_px) ** 2 + (kx / kz * sz) ** 2,
+        (kz / intr.fy * sigma_px) ** 2 + (ky / kz * sz) ** 2,
+        sz * sz,
+    ], -1)
+    var = np.maximum(var, floor)
+
+    info = np.zeros((N, 3, 3), np.float32)
+    ii = np.arange(N)
+    for a in range(3):
+        info[ii, a, a] = np.where(cnt > 0, 1.0 / var[:, a], 0.0)
+    return info
 
 
 def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -61,7 +115,8 @@ class SparseBackend:
     def __init__(self, intr: CameraIntrinsics, cfg: SLAMConfig,
                  n_features: int = 1024, local_window: int = 5,
                  fast_threshold: float = 12.0, sigma_px: float = 1.0,
-                 mesh=None, proj_gate_px: float = 4.0):
+                 mesh=None, proj_gate_px: float = 4.0,
+                 use_patch_covariance: bool = True):
         self.intr = intr
         self.cfg = cfg
         self.n_features = n_features
@@ -70,6 +125,10 @@ class SparseBackend:
         # SearchByProjection window radius (ORBmatcher th) used when
         # associating new-keyframe keypoints to existing landmarks
         self.proj_gate_px = proj_gate_px
+        # per-keypoint 13x13 depth-patch covariance information matrices
+        # (PreProcessFrame, HRBFFusion.cpp:596-677); False = parametric
+        # Kinect model only (ba.depth_information)
+        self.use_patch_covariance = use_patch_covariance
         # keypoint localisation noise fed to the information matrices; the
         # reference uses the ORB octave sigma (Optimizer.cc:1217)
         self.sigma_px = sigma_px
@@ -120,7 +179,14 @@ class SparseBackend:
             (xy[:, 1] - self.intr.cy) * z / self.intr.fy,
             z,
         ], axis=-1)
-        return kp, xy, cam, valid & has_depth
+        if self.use_patch_covariance:
+            kp_info = patch_information(d, xy, self.intr,
+                                        sigma_px=self.sigma_px)
+        else:
+            kp_info = np.asarray(ba.depth_information(
+                jnp.asarray(cam), self.intr.fx, self.intr.fy,
+                sigma_px=self.sigma_px))
+        return kp, xy, cam, valid & has_depth, kp_info
 
     # ------------------------------------------------------------------ #
     def insert_keyframe(self, intensity: jnp.ndarray, depth: jnp.ndarray,
@@ -128,7 +194,7 @@ class SparseBackend:
         """ConstructSubmaps: extract, associate to the previous keyframe's
         landmarks, create new landmarks from depth (HRBFFusion.cpp:383-438).
         Returns the new keyframe id (== submap index)."""
-        kp, xy, cam, valid = self._extract(intensity, depth)
+        kp, xy, cam, valid, kp_info = self._extract(intensity, depth)
         kf_id = len(self.keyframes)
         lm_ids = np.full((xy.shape[0],), -1, np.int64)
 
@@ -184,7 +250,7 @@ class SparseBackend:
             kf_id=kf_id, frame_time=time, pose=pose.copy(),
             kp_xy=xy, kp_cam=cam, desc=np.asarray(kp.desc),
             kp_valid=valid, landmark_ids=lm_ids,
-            kp_level=np.asarray(kp.level),
+            kp_level=np.asarray(kp.level), kp_info=kp_info,
         ))
         # projection-guided duplicate fusion over the covisibility
         # neighbourhood (reference runs this right after ProcessNewKeyFrame
@@ -352,6 +418,17 @@ class SparseBackend:
         return n
 
     # ------------------------------------------------------------------ #
+    def edge_info(self, kf: Keyframe, kp_i: int) -> np.ndarray:
+        """(3,3) information for an observation edge: the keyframe's stored
+        per-keypoint 13x13 depth-patch estimate when present, otherwise the
+        parametric Kinect model."""
+        if kf.kp_info is not None:
+            return kf.kp_info[kp_i]
+        return np.asarray(ba.depth_information(
+            jnp.asarray(kf.kp_cam[kp_i]), self.intr.fx, self.intr.fy,
+            sigma_px=self.sigma_px))
+
+    # ------------------------------------------------------------------ #
     def local_ba(self) -> Optional[np.ndarray]:
         """Local bundle adjustment over the last ``local_window`` keyframes
         (earlier ones fixed), returning per-submap delta transforms
@@ -387,13 +464,14 @@ class SparseBackend:
         if fixed.all():
             return None
 
-        edges_c, edges_l, obs = [], [], []
+        edges_c, edges_l, obs, infos = [], [], [], []
         for lid in lm_sel:
             for kf_id, kp_i in self.lm_obs[lid]:
                 kf = self.keyframes[kf_id]
                 edges_c.append(cam_index[kf_id])
                 edges_l.append(lm_index[lid])
                 obs.append(kf.kp_cam[kp_i])
+                infos.append(self.edge_info(kf, kp_i))
         obs = np.asarray(obs, np.float32)
 
         # Tcw for the solver (ORB-SLAM convention)
@@ -408,8 +486,7 @@ class SparseBackend:
             obs=jnp.asarray(obs),
             cam_idx=jnp.asarray(edges_c, jnp.int32),
             lm_idx=jnp.asarray(edges_l, jnp.int32),
-            info=ba.depth_information(jnp.asarray(obs), self.intr.fx,
-                                      self.intr.fy, sigma_px=self.sigma_px),
+            info=jnp.asarray(np.stack(infos)),
             edge_valid=jnp.ones((obs.shape[0],), jnp.float32),
             fixed=jnp.asarray(fixed),
         )

@@ -333,12 +333,13 @@ class LoopCloser:
         lm_index = {lid: k for k, lid in enumerate(lm_sel)}
         K = len(be.keyframes)
 
-        edges_c, edges_l, obs = [], [], []
+        edges_c, edges_l, obs, infos = [], [], [], []
         for lid in lm_sel:
             for kf_id, kp_i in be.lm_obs[lid]:
                 edges_c.append(kf_id)
                 edges_l.append(lm_index[lid])
                 obs.append(be.keyframes[kf_id].kp_cam[kp_i])
+                infos.append(be.edge_info(be.keyframes[kf_id], kp_i))
         obs = np.asarray(obs, np.float32)
 
         cams_tcw = np.stack([np.linalg.inv(kf.pose) for kf in be.keyframes]
@@ -352,8 +353,7 @@ class LoopCloser:
             obs=jnp.asarray(obs),
             cam_idx=jnp.asarray(edges_c, jnp.int32),
             lm_idx=jnp.asarray(edges_l, jnp.int32),
-            info=ba.depth_information(jnp.asarray(obs), be.intr.fx, be.intr.fy,
-                                      sigma_px=be.sigma_px),
+            info=jnp.asarray(np.stack(infos)),
             edge_valid=jnp.ones((obs.shape[0],), jnp.float32),
             fixed=jnp.asarray(fixed),
         )

@@ -352,6 +352,11 @@ def joint_step(
 
     if assoc_prev is None:
         assoc = gather_assoc()
+    elif isinstance(do_gather, bool):
+        # static (unrolled-loop) fixed-correspondence mode: no lax.cond in
+        # the graph — the round-1 cond-gated variant measured SLOWER than
+        # gathering every iteration (NOTES_R1), the static form does not
+        assoc = gather_assoc() if do_gather else assoc_prev
     else:
         assoc = jax.lax.cond(do_gather, gather_assoc, lambda: assoc_prev)
     vp = assoc[:, 0:3]

@@ -449,8 +449,15 @@ def track(
             carry = _gn_loop(
                 functools.partial(body, sub=sub), n_sub, carry,
                 cfg.tracking_converge_eps)
-        carry = _gn_loop(body, iters[lvl] - n_sub, carry,
-                         cfg.tracking_converge_eps)
+        n_main = iters[lvl] - n_sub
+        if reassoc > 1 and cfg.tracking_converge_eps <= 0.0:
+            # static unroll: the gather-vs-carry choice becomes a Python
+            # bool per iteration (zero cond overhead; see icp.joint_step)
+            for _i in range(n_main):
+                carry, _ = body(_i, carry)
+        else:
+            carry = _gn_loop(body, n_main, carry,
+                             cfg.tracking_converge_eps)
         if use_sparse or reassoc > 1:
             result_rt, lastA, lastb, stats, _ = carry
         else:

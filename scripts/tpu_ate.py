@@ -48,6 +48,12 @@ VARIANTS = {
     "sub3f3": {"tracking_subsample": 3},
     "crowd8": {"clean_crowd_period": 8},
     "compact8": {"clean_compact_period": 8},
+    "reassoc2": {"tracking_reassoc_period": 2},
+    "iters854": {"pyramid_iterations": (8, 5, 4)},
+    "iters754": {"pyramid_iterations": (7, 5, 4)},
+    "iters654": {"pyramid_iterations": (6, 5, 4)},
+    "reassoc2+854": {"tracking_reassoc_period": 2,
+                     "pyramid_iterations": (8, 5, 4)},
 }
 if os.environ.get("ATE_VARIANTS"):
     keep = os.environ["ATE_VARIANTS"].split(",")

@@ -32,7 +32,24 @@ def _out_and_back(n_out=8, step=0.06):
 
 
 def test_loop_closure_fires_in_pipeline():
-    gt = _out_and_back()
+    """Replay-mode drift injection through the FULL pipeline: frames are
+    rendered at GT but fused/keyframed at incrementally drifted poses
+    (globalInputLoadTrajectory semantics).  The return leg revisits the
+    start view while genuinely disconnected from it in the covisibility
+    graph (the drift exceeds the projection gate), so the loop closer must
+    fire and the correction must pull the recorded trajectory back."""
+    from hrbffusion3d_tpu.core import lie
+
+    gt = _out_and_back(n_out=6, step=0.12)
+    n = gt.shape[0]
+    step_xi = jnp.array([0.11, -0.05, 0.045, 0.014, -0.017, 0.022])
+    D = np.eye(4, dtype=np.float32)
+    drifted = []
+    for k in range(n):
+        if k >= n - 4:  # drift accrues on the return leg
+            D = np.asarray(lie.se3_exp(step_xi), np.float32) @ D
+        drifted.append((D @ gt[k]).astype(np.float32))
+
     scene = synth.default_room()
     sys = FullSLAM(
         INTR, CFG,
@@ -40,13 +57,18 @@ def test_loop_closure_fires_in_pipeline():
         loop_kwargs=dict(min_score=0.05, min_inliers=12),
         init_pose=gt[0],
     )
-    for i in range(gt.shape[0]):
+    for i in range(n):
         d, c = synth.render_frame_jit(scene, jnp.asarray(gt[i]), INTR)
-        sys.process(slam.FrameInput(depth=d, rgb=c), timestamp=float(i))
-    # the return leg revisits the first keyframe's view
+        sys.process(slam.FrameInput(depth=d, rgb=c), timestamp=float(i),
+                    fixed_pose=drifted[i])
     assert len(sys.loop_closures) >= 1, "no loop closure detected"
-    err = ate.ate_rmse(sys.poses(), gt, align=False)
-    assert err < 0.03, err
+    err_in = ate.ate_rmse(np.stack(drifted), gt, align=False)
+    err_out = ate.ate_rmse(sys.poses(), gt, align=False)
+    assert err_in > 0.10, err_in
+    # the pose graph cannot know WHERE along the chain the drift accrued,
+    # so mid-leg keyframes keep a residual; the closure must still cut the
+    # trajectory error substantially
+    assert err_out < 0.7 * err_in, (err_in, err_out)
 
 
 def test_no_loop_without_global_ba():

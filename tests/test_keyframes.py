@@ -118,3 +118,30 @@ def test_covisibility_and_active_mask():
     mask = be.active_submap_mask(2, max_submaps=10)
     assert mask[2]
     assert mask.sum() >= 2
+
+
+def test_patch_information_depth_edge_downweights():
+    """PreProcessFrame parity (HRBFFusion.cpp:596-677): a keypoint on a
+    depth discontinuity must get much weaker z-information than one on a
+    smooth frontal patch; smooth-patch info falls back to the parametric
+    floor instead of blowing up to 1/0."""
+    from hrbffusion3d_tpu.backend.keyframes import patch_information
+
+    h, w = 64, 64
+    depth = np.full((h, w), 2.0, np.float32)
+    depth[:, 32:] = 3.0                     # step edge at x=32
+    xy = np.array([[16.0, 32.0],            # smooth region
+                   [32.0, 32.0]], np.float32)   # on the edge
+    info = patch_information(depth, xy, INTR)
+    assert info.shape == (2, 3, 3)
+    # diagonal, positive where defined
+    assert (info[:, 0, 0] > 0).all() and (info[:, 2, 2] > 0).all()
+    # edge keypoint: z variance dominated by the 1 m step -> info tiny
+    assert info[1, 2, 2] < 0.01 * info[0, 2, 2], (info[0, 2, 2], info[1, 2, 2])
+    # smooth patch z-info equals the parametric floor at z=2
+    sz = 0.00273 * 4 + 0.00074 * 2 - 0.00058
+    np.testing.assert_allclose(info[0, 2, 2], 1.0 / sz ** 2, rtol=1e-3)
+    # empty patch -> zero information
+    depth0 = np.zeros((h, w), np.float32)
+    info0 = patch_information(depth0, xy, INTR)
+    np.testing.assert_allclose(info0, 0.0)
