@@ -56,6 +56,12 @@ class FullSLAM:
         self.async_ba = async_ba
         self._last_kf_time = -(10 ** 9)
         self._inflight = 0
+        # authoritative next keyframe id: enqueue-time reservation instead
+        # of len(keyframes)+inflight arithmetic (the worker asserts the
+        # backend assigned exactly the reserved id, so any future change to
+        # the idle gate or queue depth fails loudly instead of mis-tagging
+        # kf_of_frame)
+        self._next_kf_id = 0
         self.async_corrections = 0
         if async_ba:
             import queue
@@ -73,8 +79,11 @@ class FullSLAM:
             item = self._kf_queue.get()
             if item is None:
                 return
-            intensity, depth_f, pose, time = item
+            intensity, depth_f, pose, time, reserved_id = item
             kf_id = self.backend.insert_keyframe(intensity, depth_f, pose, time)
+            assert kf_id == reserved_id, (
+                f"keyframe id drift: reserved {reserved_id}, backend "
+                f"assigned {kf_id} — enqueue/insert ordering violated")
             mask = self.backend.active_submap_mask(kf_id, self.cfg.max_submaps)
             deltas = self.backend.local_ba()
             loop = None
@@ -134,6 +143,7 @@ class FullSLAM:
         ``fixed_pose``: optional (4,4) camera-to-world pose — replay mode
         (globalInputLoadTrajectory): skip tracking, fuse at this pose."""
         cfg = self.cfg
+        fused_submap = None
         if self.state is None:
             self.state = slam.bootstrap(
                 frame, self.intr, cfg,
@@ -143,6 +153,7 @@ class FullSLAM:
                 intensity, depth_f = self._kf_inputs(frame)
                 kf_id = self.backend.insert_keyframe(
                     intensity, depth_f, pose, time=int(self.state.time))
+                self._next_kf_id = kf_id + 1
                 self._last_kf_time = int(self.state.time)
                 self.state = self.state._replace(submap_idx=jnp.int32(kf_id))
                 if self.loop_closer is not None:
@@ -155,13 +166,16 @@ class FullSLAM:
                 self.state = slam.step(self.state, frame, self.intr, cfg)
             pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
             time = int(self.state.time)
+            # the submap this frame's surfels were fused under (fusion runs
+            # inside slam.step, BEFORE any keyframe insert below)
+            fused_submap = int(self.state.submap_idx)
 
             if self.async_ba and cfg.use_local_ba:
                 self._drain_async_results()
                 idle = self._inflight == 0
                 if idle and (time - self._last_kf_time) >= cfg.keyframe_period:
                     intensity, depth_f = self._kf_inputs(frame)
-                    kf_id = len(self.backend.keyframes) + self._inflight
+                    kf_id = self._next_kf_id
                     self._last_kf_time = time
                     self._inflight += 1
                     # the new submap must be active immediately (its surfels
@@ -172,10 +186,13 @@ class FullSLAM:
                     self.state = self.state._replace(
                         submap_idx=jnp.int32(kf_id),
                         active_submaps=jnp.asarray(act))
-                    self._kf_queue.put((intensity, depth_f, pose, time))
+                    self._next_kf_id += 1
+                    self._kf_queue.put((intensity, depth_f, pose, time, kf_id))
             elif cfg.use_local_ba and self.backend.need_new_keyframe(time):
                 intensity, depth_f = self._kf_inputs(frame)
                 kf_id = self.backend.insert_keyframe(intensity, depth_f, pose, time)
+                self._next_kf_id = kf_id + 1
+                self._last_kf_time = time
                 # refresh the active (covisible) keyframe set that masks
                 # dense prediction/fusion/cleaning (HRBFFusion.cpp:1160-1170)
                 mask = jnp.asarray(
@@ -205,10 +222,96 @@ class FullSLAM:
 
         self.trajectory.append(pose)
         self.timestamps.append(timestamp)
-        # the submap this frame's surfels carry (== last keyframe id; in
-        # async mode the backend's list may lag the enqueued keyframe)
-        self.kf_of_frame.append(int(self.state.submap_idx))
+        # tag the frame with the submap its surfels were fused under (the
+        # pre-insert id; trajectory rewrites apply that submap's delta)
+        self.kf_of_frame.append(
+            fused_submap if fused_submap is not None
+            else int(self.state.submap_idx))
         return pose
+
+    # ------------------------------------------------------------------ #
+    def process_batch(self, frames: slam.FrameInput,
+                      timestamps=None) -> np.ndarray:
+        """Process a stack of frames (leading frame axis) with scan-batched
+        dense steps: the per-call dispatch overhead (~27 ms through the
+        remote TPU path) amortises over ``keyframe_period``-sized chunks,
+        and the sparse backend (keyframe insert, local BA, loop closing)
+        runs at the chunk boundaries — exactly the reference's keyframe/BA
+        sync cadence (HRBFFusion.cpp:1136-1188).  Returns (N,4,4) poses of
+        the batch's frames."""
+        cfg = self.cfg
+        n = frames.depth.shape[0]
+        if timestamps is None:
+            t0 = self.timestamps[-1] + 1 if self.timestamps else 0
+            timestamps = [float(t0 + i) for i in range(n)]
+        start = 0
+        if self.state is None:
+            first = jax.tree.map(lambda x: x[0], frames)
+            self.process(first, timestamp=timestamps[0])
+            start = 1
+
+        i = start
+        while i < n:
+            # chunk up to (and including) the next keyframe-cadence frame
+            time_now = int(self.state.time)
+            until_kf = cfg.keyframe_period - (time_now - self._last_kf_time)
+            k = min(n - i, max(1, until_kf))
+            chunk = jax.tree.map(lambda x: x[i:i + k], frames)
+            self.state, poses = slam.step_many_traj(
+                self.state, chunk, self.intr, cfg)
+            poses = np.asarray(poses)
+            kf_idx = int(self.state.submap_idx)
+            for j in range(k):
+                self.trajectory.append(poses[j])
+                self.timestamps.append(timestamps[i + j])
+                self.kf_of_frame.append(kf_idx)
+            i += k
+
+            time = int(self.state.time)
+            if cfg.use_local_ba and (time - self._last_kf_time) >= cfg.keyframe_period:
+                last = jax.tree.map(lambda x: x[i - 1], frames)
+                pose = poses[-1]
+                if self.async_ba:
+                    self._drain_async_results()
+                    if self._inflight == 0:
+                        intensity, depth_f = self._kf_inputs(last)
+                        kf_id = self._next_kf_id
+                        self._last_kf_time = time
+                        self._inflight += 1
+                        act = np.array(self.state.active_submaps)
+                        act[kf_id] = True
+                        self.state = self.state._replace(
+                            submap_idx=jnp.int32(kf_id),
+                            active_submaps=jnp.asarray(act))
+                        self._next_kf_id += 1
+                        self._kf_queue.put(
+                            (intensity, depth_f, pose, time, kf_id))
+                else:
+                    intensity, depth_f = self._kf_inputs(last)
+                    kf_id = self.backend.insert_keyframe(
+                        intensity, depth_f, pose, time)
+                    self._next_kf_id = kf_id + 1
+                    self._last_kf_time = time
+                    mask = jnp.asarray(self.backend.active_submap_mask(
+                        kf_id, cfg.max_submaps))
+                    self.state = self.state._replace(
+                        submap_idx=jnp.int32(kf_id),
+                        active_submaps=mask,
+                        map=sm.refresh_active_channel(self.state.map, mask),
+                    )
+                    deltas = self.backend.local_ba()
+                    if deltas is not None:
+                        self._apply_correction(deltas, kf_id)
+                    if self.loop_closer is not None:
+                        cand = self.loop_closer.add_keyframe(kf_id)
+                        if cand is not None:
+                            loop_deltas = self.loop_closer.correct(cand)
+                            self._apply_correction(loop_deltas, kf_id)
+                            self.loop_closures.append(
+                                (cand.match_kf, cand.query_kf))
+            self.state, self.cfg = slam.ensure_capacity(self.state, self.cfg)
+            cfg = self.cfg
+        return np.stack(self.trajectory[-n:])
 
     # ------------------------------------------------------------------ #
     def _apply_correction(self, deltas: np.ndarray, current_kf: int):

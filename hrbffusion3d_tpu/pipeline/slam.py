@@ -248,6 +248,24 @@ def step_many(state: SLAMState, frames: FrameInput, intr: CameraIntrinsics,
     return jax.lax.scan(body, state, (frames, pres))
 
 
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def step_many_traj(state: SLAMState, frames: FrameInput,
+                   intr: CameraIntrinsics, cfg: SLAMConfig):
+    """step_many returning full per-frame poses: (final state, (N,4,4))
+    camera-to-world — the batched path of FullSLAM.process_batch needs the
+    whole trajectory chunk, not just translations."""
+    from ..core import lie as _lie
+
+    pres = jax.vmap(lambda f: _preprocess(f, intr, cfg))(frames)
+
+    def body(s, fp):
+        f, pre_done = fp
+        s2 = step_impl(s, f, intr, cfg, pre_done=pre_done)
+        return s2, _lie.rt_to_mat(s2.R, s2.t)
+
+    return jax.lax.scan(body, state, (frames, pres))
+
+
 # single-frame replay: the jitted ``step`` already accepts
 # ``fixed_pose`` — step(state, frame, intr, cfg, fixed_pose=pose)
 

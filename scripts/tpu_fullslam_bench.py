@@ -1,0 +1,112 @@
+"""FULL-system benchmark on the real chip (VERDICT r1 item 2): FullSLAM —
+dense frame-to-model pipeline + keyframe insertion + local BA + loop
+closing — at 640x480 over a long Kinect-noisy loopy sequence of the
+cluttered synthetic room, reporting fps INCLUSIVE of the sparse backend and
+the steady-state surfel count.
+
+The dense steps run scan-batched per keyframe period (process_batch);
+backend work happens at chunk boundaries exactly like the reference's
+keyframe/BA sync block (HRBFFusion.cpp:1136-1188).
+
+Env: FSB_FRAMES (default 210), FSB_KF_PERIOD (10), FSB_CAP (786432),
+     FSB_ASYNC (0), FSB_NOISE (1).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from hrbffusion3d_tpu.utils import tpu_cache
+
+tpu_cache.enable()
+
+import jax
+import jax.numpy as jnp
+
+from hrbffusion3d_tpu.config import TUM1, SLAMConfig
+from hrbffusion3d_tpu.eval import ate, synth
+from hrbffusion3d_tpu.pipeline import slam
+from hrbffusion3d_tpu.pipeline.full_slam import FullSLAM
+
+N = int(os.environ.get("FSB_FRAMES", "210"))
+KF_PERIOD = int(os.environ.get("FSB_KF_PERIOD", "10"))
+CAP = int(os.environ.get("FSB_CAP", "786432"))
+ASYNC = bool(int(os.environ.get("FSB_ASYNC", "0")))
+NOISE = bool(int(os.environ.get("FSB_NOISE", "1")))
+
+intr = TUM1
+cfg = SLAMConfig(map_capacity=CAP, predict_conf_threshold=0.2,
+                 use_pallas_raycast=True, clean_compact_period=4,
+                 raycast_block_height=16, raycast_bisection_iters=6,
+                 raycast_false_position=3, clean_crowd_period=4,
+                 keyframe_period=KF_PERIOD)
+
+scene = synth.complex_room()
+gt = synth.loopy_trajectory(N, n_loops=2, radius=0.55)
+
+sys_ = FullSLAM(intr, cfg, init_pose=gt[0], async_ba=ASYNC,
+                loop_kwargs=dict(min_score=0.05, min_inliers=20,
+                                 consistency=2))
+
+
+def render(i):
+    if NOISE:
+        d, c = synth.render_frame_kinect_jit(
+            scene, jnp.asarray(gt[i]), intr, jax.random.PRNGKey(1000 + i))
+    else:
+        d, c = synth.render_frame_jit(scene, jnp.asarray(gt[i]), intr)
+    return np.asarray(d), np.asarray(c)
+
+
+# warmup: bootstrap + one full chunk through every graph (compile)
+d0, c0 = render(0)
+sys_.process(slam.FrameInput(depth=jnp.asarray(d0), rgb=jnp.asarray(c0)),
+             timestamp=0.0)
+print("bootstrap done", flush=True)
+
+t_proc = 0.0
+i = 1
+chunk_times = []
+while i < N:
+    k = min(KF_PERIOD, N - i)
+    ds, cs = zip(*(render(i + j) for j in range(k)))
+    batch = slam.FrameInput(depth=jnp.asarray(np.stack(ds)),
+                            rgb=jnp.asarray(np.stack(cs)))
+    t0 = time.perf_counter()
+    sys_.process_batch(batch, timestamps=[float(i + j) for j in range(k)])
+    dt = time.perf_counter() - t0
+    chunk_times.append(dt / k)
+    t_proc += dt
+    if (i // KF_PERIOD) % 5 == 0:
+        print(f"frame {i + k}/{N}: {dt / k * 1000:.1f} ms/frame  "
+              f"surfels {int(sys_.state.map.count)}  cap {sys_.cfg.map_capacity}  "
+              f"kfs {len(sys_.backend.keyframes)} loops {len(sys_.loop_closures)}",
+              flush=True)
+    i += k
+
+sys_.join_backend()
+# steady-state fps: exclude the first 3 chunks (compile tails, cold map)
+steady = chunk_times[3:] if len(chunk_times) > 6 else chunk_times
+fps_all = (N - 1) / t_proc
+fps_steady = 1.0 / float(np.median(steady))
+err = ate.ate_rmse(sys_.poses(), gt[: len(sys_.trajectory)], align=False)
+
+print(f"\nfull-system fps (all-in, incl. compile tails): {fps_all:.2f}")
+print(f"full-system fps (median steady-state chunk):    {fps_steady:.2f}")
+print(f"surfels {int(sys_.state.map.count)} / cap {sys_.cfg.map_capacity}")
+print(f"keyframes {len(sys_.backend.keyframes)}  "
+      f"landmarks {len(sys_.backend.landmarks)}  "
+      f"loop closures {len(sys_.loop_closures)}")
+print(f"ATE RMSE vs GT (no alignment): {err * 1000:.2f} mm")
+import json
+
+print(json.dumps({"metric": "full_slam_fps_640x480",
+                  "value": round(fps_steady, 2), "unit": "fps",
+                  "vs_baseline": round(fps_steady / 30.0, 3),
+                  "ate_mm": round(err * 1000, 2),
+                  "surfels": int(sys_.state.map.count),
+                  "loops": len(sys_.loop_closures)}))
