@@ -47,16 +47,32 @@ def l1_score(v: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
 
 
 class BowDatabase:
-    """Inverted-file-free dense database (keyframe counts are small; one
-    batched scoring matmul replaces DBoW2's inverted index)."""
+    """KeyFrameDatabase equivalent.  Two interchangeable backends:
+    - flat random vocabulary + dense batched min-sum scoring (default —
+      keyframe counts are small, one vectorised pass beats list-walking);
+    - a trained hierarchical VocabularyTree (backend/vocab.py) with a true
+      inverted index (DBoW2 TemplatedDatabase semantics), for large maps
+      and for parity with the reference's vocabulary-tree quantisation."""
 
-    def __init__(self, n_words: int = 512):
-        self.n_words = n_words
+    def __init__(self, n_words: int = 512, tree=None):
+        self.tree = tree
+        self.n_words = tree.n_words if tree is not None else n_words
         self.vectors: list[np.ndarray] = []
+        if tree is not None:
+            from .vocab import InvertedIndex
+
+            self.index = InvertedIndex(self.n_words)
+        else:
+            self.index = None
 
     def add(self, desc: jnp.ndarray, valid: jnp.ndarray) -> int:
-        v = np.asarray(bow_vector(desc, valid, self.n_words))
+        if self.tree is not None:
+            v = np.asarray(self.tree.bow_vector(desc, valid))
+        else:
+            v = np.asarray(bow_vector(desc, valid, self.n_words))
         self.vectors.append(v)
+        if self.index is not None:
+            self.index.add(v)
         return len(self.vectors) - 1
 
     def query(self, idx: int, exclude=()):
@@ -65,8 +81,12 @@ class BowDatabase:
         connected to the current one) are forced to -1."""
         if idx < 1:
             return np.zeros((0,))
-        db = np.stack(self.vectors[:idx])
-        scores = np.array(l1_score(jnp.asarray(self.vectors[idx]), jnp.asarray(db)))
+        if self.index is not None:
+            scores = self.index.query(self.vectors[idx])[:idx]
+        else:
+            db = np.stack(self.vectors[:idx])
+            scores = np.array(
+                l1_score(jnp.asarray(self.vectors[idx]), jnp.asarray(db)))
         for k in exclude:
             if 0 <= k < idx:
                 scores[k] = -1.0

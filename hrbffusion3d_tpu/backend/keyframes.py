@@ -104,6 +104,8 @@ def patch_information(depth: np.ndarray, xy: np.ndarray,
 def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(M,8)u32 x (N,8)u32 -> (M,N) Hamming distances (DescriptorDistance,
     ORBmatcher.cc:1182-1197)."""
+    a = np.ascontiguousarray(a)   # device-originated arrays may be strided
+    b = np.ascontiguousarray(b)
     a8 = a.view(np.uint8).reshape(a.shape[0], -1)
     b8 = b.view(np.uint8).reshape(b.shape[0], -1)
     return _POPCNT8[a8[:, None, :] ^ b8[None, :, :]].sum(-1, dtype=np.int32)

@@ -71,9 +71,10 @@ class LoopCloser:
 
     def __init__(self, backend: SparseBackend, n_words: int = 512,
                  min_score: float = 0.05, min_inliers: int = 20,
-                 consistency: int = 1, covis_min_shared: int = 15):
+                 consistency: int = 1, covis_min_shared: int = 15,
+                 vocab_tree=None):
         self.backend = backend
-        self.db = bow.BowDatabase(n_words)
+        self.db = bow.BowDatabase(n_words, tree=vocab_tree)
         # absolute floor under the covisible-relative threshold: the
         # reference derives the candidate threshold from the LOWEST BoW score
         # of the query against its covisible neighbours (LoopClosing.cc:
