@@ -272,6 +272,56 @@ def _gn_iteration(prob: BAProblem, robust: bool, damping: float = 1e-6,
     return prob._replace(cams=new_cams, points=new_points), total_chi2
 
 
+def _next_bucket(n: int, lo: int = 64) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def pad_problem(prob: BAProblem, lo: int = 64) -> BAProblem:
+    """Pad edge/landmark/camera counts to power-of-two buckets so repeated
+    BA calls reuse compiled executables (every raw shape is a fresh jit
+    specialisation — ruinous through the serialized remote TPU compiler).
+    Padding edges are invalid (zero weight) and each points at its own
+    padding landmark, so Schur pair lists grow by O(E_pad), not O(E_pad²);
+    padding cameras are gauge-fixed identities."""
+    E, L, C = prob.obs.shape[0], prob.points.shape[0], prob.cams.shape[0]
+    # E+1: guarantee at least one invalid edge exists (pad_pairs aliases
+    # padding pairs to it)
+    Eb, Cb = _next_bucket(E + 1, lo), _next_bucket(C, 8)
+    Lb = _next_bucket(L + (Eb - E), lo)
+
+    def pade(x, fill=0.0):
+        pad = [(0, Eb - E)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad, constant_values=fill)
+
+    pad_lms = L + jnp.arange(Eb - E, dtype=prob.lm_idx.dtype)
+    return BAProblem(
+        cams=jnp.concatenate(
+            [prob.cams, jnp.broadcast_to(jnp.eye(4, dtype=prob.cams.dtype),
+                                         (Cb - C, 4, 4))]),
+        points=jnp.pad(prob.points, ((0, Lb - L), (0, 0))),
+        obs=jnp.pad(prob.obs, ((0, Eb - E), (0, 0)),
+                    constant_values=1.0),   # z=1: demotion's p_z>0 untouched
+        cam_idx=pade(prob.cam_idx),
+        lm_idx=jnp.concatenate([prob.lm_idx, pad_lms]),
+        info=jnp.pad(prob.info, ((0, Eb - E), (0, 0), (0, 0))),
+        edge_valid=pade(prob.edge_valid),
+        fixed=jnp.pad(prob.fixed, (0, Cb - C), constant_values=True),
+    )
+
+
+def pad_pairs(pairs: BAPairs, invalid_edge: int, lo: int = 256) -> BAPairs:
+    """Pad a pair list to a power-of-two bucket; padding pairs alias an
+    INVALID edge (zero robust weight -> zero Schur contribution)."""
+    P = pairs.e.shape[0]
+    Pb = _next_bucket(P, lo)
+    fill = jnp.full((Pb - P,), invalid_edge, pairs.e.dtype)
+    return BAPairs(jnp.concatenate([pairs.e, fill]),
+                   jnp.concatenate([pairs.f, fill]))
+
+
 # above this camera count the dense (C,C,6,6) build + O((6C)^3) solve is
 # replaced by matrix-free PCG (VERDICT r1 item 4: global BA at 300 KFs must
 # run in bounded memory)

@@ -482,6 +482,7 @@ class SparseBackend:
         ]).astype(np.float32)
         points = np.stack([self.landmarks[lid] for lid in lm_sel]).astype(np.float32)
 
+        n_cams, n_lms = len(cam_ids), len(lm_sel)
         prob = ba.BAProblem(
             cams=jnp.asarray(cams_tcw),
             points=jnp.asarray(points),
@@ -492,6 +493,16 @@ class SparseBackend:
             edge_valid=jnp.ones((obs.shape[0],), jnp.float32),
             fixed=jnp.asarray(fixed),
         )
+        # pad to shape buckets so successive keyframes (growing E/L) reuse
+        # the compiled optimizer instead of respecializing every call
+        solver = "dense" if n_cams <= ba.DENSE_SOLVER_MAX_CAMS else "cg"
+        n_edges = obs.shape[0]
+        prob = ba.pad_problem(prob)
+        pairs = None
+        if solver == "dense" and self.mesh is None:
+            pairs = ba.pad_pairs(
+                ba.build_pairs(prob.cam_idx, prob.lm_idx),
+                invalid_edge=n_edges)
         if self.mesh is not None:
             from ..parallel import dist_ba
 
@@ -499,12 +510,12 @@ class SparseBackend:
                 self._dist_opt = dist_ba.make_optimizer(self.mesh)
             sb = dist_ba.partition_problem(prob, self.mesh.devices.size)
             cams_d, points_d, _ = self._dist_opt(sb)
-            new_tcw = np.asarray(cams_d)
-            new_points = dist_ba.gather_points(points_d, len(lm_sel))
+            new_tcw = np.asarray(cams_d)[:n_cams]
+            new_points = dist_ba.gather_points(points_d, n_lms)
         else:
-            out, _ = ba.optimize(prob)
-            new_tcw = np.asarray(out.cams)
-            new_points = np.asarray(out.points)
+            out, _ = ba.optimize_jit(prob, solver=solver, pairs=pairs)
+            new_tcw = np.asarray(out.cams)[:n_cams]
+            new_points = np.asarray(out.points)[:n_lms]
 
         # write back + build dense-map deltas
         deltas = np.tile(np.eye(4, dtype=np.float32),

@@ -358,9 +358,16 @@ class LoopCloser:
             edge_valid=jnp.ones((obs.shape[0],), jnp.float32),
             fixed=jnp.asarray(fixed),
         )
-        out, _ = ba.optimize(prob)
-        new_tcw = np.asarray(out.cams)
-        new_points = np.asarray(out.points)
+        solver = "dense" if K <= ba.DENSE_SOLVER_MAX_CAMS else "cg"
+        n_edges = obs.shape[0]
+        prob = ba.pad_problem(prob)
+        pairs = None
+        if solver == "dense":
+            pairs = ba.pad_pairs(ba.build_pairs(prob.cam_idx, prob.lm_idx),
+                                 invalid_edge=n_edges)
+        out, _ = ba.optimize_jit(prob, solver=solver, pairs=pairs)
+        new_tcw = np.asarray(out.cams)[:K]
+        new_points = np.asarray(out.points)[:len(lm_sel)]
 
         deltas = np.zeros((K, 4, 4), np.float32)
         for k in range(K):

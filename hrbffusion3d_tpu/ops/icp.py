@@ -772,6 +772,43 @@ def pack_so3(image: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([image.reshape(P), gx.reshape(P), gy.reshape(P)], axis=-1)
 
 
+def _ldlt_solve_unrolled(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Statically-unrolled LDL^T solve for tiny SPD systems (n <= 8).
+
+    jnp.linalg.solve lowers to a pivoted LU built from ~16 dynamic-update-
+    slice ops per call — at 29 solves per frame that was ~1.5 ms/frame of
+    op-launch overhead (round-2 trace); the unrolled scalar graph fuses
+    into one kernel.  No pivoting: the caller preconditions + damps, so A
+    is SPD with unit-scale diagonal."""
+    n = A.shape[0]
+    a = [[A[i, j] for j in range(n)] for i in range(n)]
+    L = [[None] * n for _ in range(n)]
+    D = [None] * n
+    for j in range(n):
+        s = a[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k] * D[k]
+        D[j] = jnp.maximum(s, 1e-12)
+        for i in range(j + 1, n):
+            t = a[i][j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k] * D[k]
+            L[i][j] = t / D[j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i] / D[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s
+    return jnp.stack(x)
+
+
 def solve_system(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Diagonally-preconditioned dense solve (replaces Eigen ldlt on host,
     RGBDOdometry.cpp:1168-1190 — the reference casts to double; we
@@ -781,6 +818,9 @@ def solve_system(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     As = A * dinv[:, None] * dinv[None, :]
     bs = b * dinv
     As = As + 1e-6 * jnp.eye(A.shape[0], dtype=A.dtype)
-    x = jnp.linalg.solve(As, bs)
+    if A.shape[0] <= 8:
+        x = _ldlt_solve_unrolled(As, bs)
+    else:
+        x = jnp.linalg.solve(As, bs)
     x = x * dinv
     return jnp.where(jnp.all(jnp.isfinite(x)), x, jnp.zeros_like(x))

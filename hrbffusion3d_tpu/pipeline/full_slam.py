@@ -29,9 +29,25 @@ class FullSLAM:
 
     def __init__(self, intr: CameraIntrinsics, cfg: SLAMConfig,
                  backend_kwargs: dict | None = None, init_pose=None,
-                 loop_kwargs: dict | None = None, async_ba: bool = False):
+                 loop_kwargs: dict | None = None, async_ba: bool = False,
+                 backend_on_cpu: bool = True):
         self.intr = intr
         self.cfg = cfg
+        # run the sparse backend's device math (feature extraction, BA,
+        # pose graph) on the host CPU backend when one is registered — the
+        # reference's g2o/ORB side is CPU too, and on the remote-TPU path
+        # every backend jit would otherwise contend with the dense stream
+        # and pay the serialized remote compiler.  Requires
+        # JAX_PLATFORMS=axon,cpu (or plain cpu); degrades to the default
+        # device when no cpu backend exists.
+        self._backend_dev = None
+        if backend_on_cpu:
+            try:
+                dev = jax.devices("cpu")[0]
+                if jax.default_backend() != "cpu":
+                    self._backend_dev = dev
+            except RuntimeError:
+                pass
         self.init_pose = init_pose
         self.state: slam.SLAMState | None = None
         self.backend = SparseBackend(intr, cfg, **(backend_kwargs or {}))
@@ -80,17 +96,20 @@ class FullSLAM:
             if item is None:
                 return
             intensity, depth_f, pose, time, reserved_id = item
-            kf_id = self.backend.insert_keyframe(intensity, depth_f, pose, time)
-            assert kf_id == reserved_id, (
-                f"keyframe id drift: reserved {reserved_id}, backend "
-                f"assigned {kf_id} — enqueue/insert ordering violated")
-            mask = self.backend.active_submap_mask(kf_id, self.cfg.max_submaps)
-            deltas = self.backend.local_ba()
-            loop = None
-            if self.loop_closer is not None:
-                cand = self.loop_closer.add_keyframe(kf_id)
-                if cand is not None:
-                    loop = (self.loop_closer.correct(cand), cand)
+            with self._backend_ctx():
+                kf_id = self.backend.insert_keyframe(intensity, depth_f,
+                                                     pose, time)
+                assert kf_id == reserved_id, (
+                    f"keyframe id drift: reserved {reserved_id}, backend "
+                    f"assigned {kf_id} — enqueue/insert ordering violated")
+                mask = self.backend.active_submap_mask(kf_id,
+                                                       self.cfg.max_submaps)
+                deltas = self.backend.local_ba()
+                loop = None
+                if self.loop_closer is not None:
+                    cand = self.loop_closer.add_keyframe(kf_id)
+                    if cand is not None:
+                        loop = (self.loop_closer.correct(cand), cand)
             self._result_queue.put((kf_id, mask, deltas, loop))
 
     def _drain_async_results(self):
@@ -128,6 +147,14 @@ class FullSLAM:
         self._drain_async_results()
 
     # ------------------------------------------------------------------ #
+    def _backend_ctx(self):
+        import contextlib
+
+        if self._backend_dev is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self._backend_dev)
+
+    # ------------------------------------------------------------------ #
     def _kf_inputs(self, frame: slam.FrameInput):
         depth_f = (
             preprocess.bilateral_filter(frame.depth, self.cfg)
@@ -150,14 +177,15 @@ class FullSLAM:
                 init_pose=fixed_pose if fixed_pose is not None else self.init_pose)
             pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
             if cfg.use_local_ba:
-                intensity, depth_f = self._kf_inputs(frame)
-                kf_id = self.backend.insert_keyframe(
-                    intensity, depth_f, pose, time=int(self.state.time))
-                self._next_kf_id = kf_id + 1
-                self._last_kf_time = int(self.state.time)
+                with self._backend_ctx():
+                    intensity, depth_f = self._kf_inputs(frame)
+                    kf_id = self.backend.insert_keyframe(
+                        intensity, depth_f, pose, time=int(self.state.time))
+                    self._next_kf_id = kf_id + 1
+                    self._last_kf_time = int(self.state.time)
+                    if self.loop_closer is not None:
+                        self.loop_closer.add_keyframe(kf_id)
                 self.state = self.state._replace(submap_idx=jnp.int32(kf_id))
-                if self.loop_closer is not None:
-                    self.loop_closer.add_keyframe(kf_id)
         else:
             if fixed_pose is not None:
                 self.state = slam.step(self.state, frame, self.intr, cfg,
@@ -189,8 +217,10 @@ class FullSLAM:
                     self._next_kf_id += 1
                     self._kf_queue.put((intensity, depth_f, pose, time, kf_id))
             elif cfg.use_local_ba and self.backend.need_new_keyframe(time):
-                intensity, depth_f = self._kf_inputs(frame)
-                kf_id = self.backend.insert_keyframe(intensity, depth_f, pose, time)
+                with self._backend_ctx():
+                    intensity, depth_f = self._kf_inputs(frame)
+                    kf_id = self.backend.insert_keyframe(
+                        intensity, depth_f, pose, time)
                 self._next_kf_id = kf_id + 1
                 self._last_kf_time = time
                 # refresh the active (covisible) keyframe set that masks
@@ -204,15 +234,18 @@ class FullSLAM:
                     # activity channel (per-frame steps read the cache)
                     map=sm.refresh_active_channel(self.state.map, mask),
                 )
-                deltas = self.backend.local_ba()
+                with self._backend_ctx():
+                    deltas = self.backend.local_ba()
                 if deltas is not None:
                     self._apply_correction(deltas, kf_id)
                     pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
                 # loop closing (LoopClosing::Run equivalent, synchronous)
                 if self.loop_closer is not None:
-                    cand = self.loop_closer.add_keyframe(kf_id)
-                    if cand is not None:
-                        loop_deltas = self.loop_closer.correct(cand)
+                    with self._backend_ctx():
+                        cand = self.loop_closer.add_keyframe(kf_id)
+                        loop_deltas = (self.loop_closer.correct(cand)
+                                       if cand is not None else None)
+                    if loop_deltas is not None:
                         self._apply_correction(loop_deltas, kf_id)
                         pose = np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
                         self.loop_closures.append((cand.match_kf, cand.query_kf))
@@ -274,7 +307,8 @@ class FullSLAM:
                 if self.async_ba:
                     self._drain_async_results()
                     if self._inflight == 0:
-                        intensity, depth_f = self._kf_inputs(last)
+                        with self._backend_ctx():
+                            intensity, depth_f = self._kf_inputs(last)
                         kf_id = self._next_kf_id
                         self._last_kf_time = time
                         self._inflight += 1
@@ -287,28 +321,31 @@ class FullSLAM:
                         self._kf_queue.put(
                             (intensity, depth_f, pose, time, kf_id))
                 else:
-                    intensity, depth_f = self._kf_inputs(last)
-                    kf_id = self.backend.insert_keyframe(
-                        intensity, depth_f, pose, time)
-                    self._next_kf_id = kf_id + 1
-                    self._last_kf_time = time
-                    mask = jnp.asarray(self.backend.active_submap_mask(
-                        kf_id, cfg.max_submaps))
+                    with self._backend_ctx():
+                        intensity, depth_f = self._kf_inputs(last)
+                        kf_id = self.backend.insert_keyframe(
+                            intensity, depth_f, pose, time)
+                        self._next_kf_id = kf_id + 1
+                        self._last_kf_time = time
+                        mask_np = self.backend.active_submap_mask(
+                            kf_id, cfg.max_submaps)
+                        deltas = self.backend.local_ba()
+                        cand = (self.loop_closer.add_keyframe(kf_id)
+                                if self.loop_closer is not None else None)
+                        loop_deltas = (self.loop_closer.correct(cand)
+                                       if cand is not None else None)
+                    mask = jnp.asarray(mask_np)
                     self.state = self.state._replace(
                         submap_idx=jnp.int32(kf_id),
                         active_submaps=mask,
                         map=sm.refresh_active_channel(self.state.map, mask),
                     )
-                    deltas = self.backend.local_ba()
                     if deltas is not None:
                         self._apply_correction(deltas, kf_id)
-                    if self.loop_closer is not None:
-                        cand = self.loop_closer.add_keyframe(kf_id)
-                        if cand is not None:
-                            loop_deltas = self.loop_closer.correct(cand)
-                            self._apply_correction(loop_deltas, kf_id)
-                            self.loop_closures.append(
-                                (cand.match_kf, cand.query_kf))
+                    if loop_deltas is not None:
+                        self._apply_correction(loop_deltas, kf_id)
+                        self.loop_closures.append(
+                            (cand.match_kf, cand.query_kf))
             self.state, self.cfg = slam.ensure_capacity(self.state, self.cfg)
             cfg = self.cfg
         return np.stack(self.trajectory[-n:])
