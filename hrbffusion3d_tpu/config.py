@@ -249,6 +249,26 @@ class SLAMConfig:
     # (reduce.cu runs every pixel every iteration).
     tracking_subsample: int = 1
     tracking_subsample_full_iters: int = 3
+    # bounded-displacement streaming association for the finest-level GN
+    # iterations (ops/icp.PatchAssoc): anchor the correspondence patch once
+    # at level entry (one wide row gather), select taps arithmetically per
+    # iteration (zero gathers inside the GN loop).  Association is
+    # identical to per-iteration re-gathering while the rounded warp stays
+    # within tracking_patch_radius of the anchor; pixels that drift
+    # further lose their correspondence for that iteration.  Requires the
+    # joint-nearest path (tracking_rgb_nearest).  1 = the reference's
+    # re-gather-every-iteration semantics (reduce.cu re-searches per iter).
+    tracking_patch_assoc: bool = False
+    tracking_patch_radius: int = 1
+    # saliency-weighted pixel selection for the finest-level GN iterations:
+    # run them on the k most informative pixels (normalised
+    # intensity-gradient + curvature score with a uniform dither filling
+    # the remaining slots — ops/icp.saliency_ids) instead of all H*W.
+    # The model-side association table stays full-resolution.  0 = every
+    # pixel (reference parity).  The last tracking_topk_full_iters
+    # finest-level iterations run at full resolution to polish.
+    tracking_topk: int = 0
+    tracking_topk_full_iters: int = 0
 
 
 DEFAULT_CONFIG = SLAMConfig()

@@ -187,6 +187,167 @@ def pack_joint(vmap_g: jnp.ndarray, nmap_g: jnp.ndarray,
         [base.reshape(P, 9), sh(0, 1), sh(1, 0), sh(1, 1)], axis=-1)
 
 
+class PatchAssoc(NamedTuple):
+    """Bounded-displacement streaming association (cfg.tracking_patch_assoc).
+
+    The finest-level GN iterations re-fetch their correspondence row at the
+    rounded warp pixel every iteration; that random row gather is the single
+    most expensive tracking op (issue-rate bound, ~4.5 ns/row x 307k rows x
+    10 iterations).  After SO(3) pre-alignment and the coarse levels the
+    finest-level warp moves sub-pixel-to-few-pixel between iterations, so
+    the association can be ANCHORED once: gather the (2R+1)^2-tap patch of
+    packed model rows around the level-entry warp pixel (one wide gather),
+    then select the tap arithmetically inside each iteration (pure VPU
+    selects, zero gathers).  Pixels whose warp leaves the window lose their
+    correspondence for that iteration (masked — the same pixels the
+    divergence guard worries about).
+
+    Tap payload is 6 channels [d, n_cp(3), w, i] in the PREVIOUS CAMERA
+    frame: the model vertex is derived from the tap pixel + depth (the
+    prediction lies on the pixel ray), and the point-to-plane system is
+    assembled in the previous camera frame anyway (reduce.cu:474-507), so
+    neither the world-frame vertex nor the world-frame normal needs storing.
+    """
+
+    rows: jnp.ndarray   # (M, T*6) anchored patch rows, T = (2R+1)^2
+    au: jnp.ndarray     # (M,) anchor pixel u (int32, unclamped)
+    av: jnp.ndarray     # (M,) anchor pixel v
+    ok: jnp.ndarray     # (M,) bool anchor-in-image
+
+
+def pack_patch_base(last_depth: jnp.ndarray, nmap_c: jnp.ndarray,
+                    icp_weight: jnp.ndarray, last_intensity: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """(H,W)x3 + (H,W,3) -> (H,W,6) base image [d, n_cp(3), w, i]; the
+    normal is in the previous CAMERA frame (pred_nmap, pre-initICPModel)."""
+    return jnp.concatenate([
+        last_depth[..., None], nmap_c, icp_weight[..., None],
+        last_intensity[..., None],
+    ], axis=-1)
+
+
+def build_patch_table(base6: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(H,W,6) -> (H*W, T*6) patch table via streaming shifted copies
+    (extract_patches — no gathers; out-of-image taps are zero => d=0
+    invalid).  Tap order d = (dy+R)*(2R+1) + (dx+R)."""
+    h, w = base6.shape[:2]
+    t = (2 * radius + 1) ** 2
+    return extract_patches(base6, radius).reshape(h * w, t * 6)
+
+
+def patch_anchor(R_curr: jnp.ndarray, t_curr: jnp.ndarray,
+                 R_prev_inv: jnp.ndarray, t_prev: jnp.ndarray,
+                 vcurr: jnp.ndarray, table: jnp.ndarray,
+                 intr: CameraIntrinsics) -> PatchAssoc:
+    """Anchor the patch association at the current (level-entry) warp:
+    ONE wide row gather of the (2R+1)^2-tap patch per tracked pixel."""
+    h, w = intr.height, intr.width
+    dot = functools.partial(jnp.matmul, precision=_HI)
+    vcurr_g = dot(vcurr, R_curr.T) + t_curr
+    vcurr_cp = dot(vcurr_g - t_prev, R_prev_inv.T)
+    z = vcurr_cp[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    u0f = vcurr_cp[:, 0] * intr.fx / safe_z + intr.cx
+    v0f = vcurr_cp[:, 1] * intr.fy / safe_z + intr.cy
+    ui = jnp.round(u0f).astype(jnp.int32)
+    vi = jnp.round(v0f).astype(jnp.int32)
+    ok = (ui >= 0) & (vi >= 0) & (ui < w) & (vi < h) & (z > 0)
+    flat = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
+    return PatchAssoc(rows=table[flat], au=ui, av=vi, ok=ok)
+
+
+def joint_step_patch(
+    R_curr: jnp.ndarray, t_curr: jnp.ndarray,
+    R_prev_inv: jnp.ndarray, t_prev: jnp.ndarray,
+    patch: PatchAssoc, radius: int,
+    vcurr: jnp.ndarray, ncurr: jnp.ndarray, valid_curr: jnp.ndarray,
+    i_next: jnp.ndarray, static_valid: jnp.ndarray,
+    intr: CameraIntrinsics, cfg: SLAMConfig,
+):
+    """One gather-free joint GN pass against the anchored patch (see
+    PatchAssoc).  Where the rounded warp stays inside the anchor window the
+    association — and therefore the residual rows — matches joint_step's
+    re-gathered nearest-pixel association exactly (up to the f32 wobble of
+    assembling in the previous-camera frame directly); out-of-window pixels
+    drop their correspondence for the iteration."""
+    h, w = intr.height, intr.width
+    D = 2 * radius + 1
+    T = D * D
+
+    dot = functools.partial(jnp.matmul, precision=_HI)
+    vcurr_g = dot(vcurr, R_curr.T) + t_curr
+    vcurr_cp = dot(vcurr_g - t_prev, R_prev_inv.T)
+    # normals straight into the previous camera frame (|cross| is rotation
+    # invariant so the angle gate is unchanged)
+    R_rel = dot(R_prev_inv, R_curr)
+    ncurr_cp = dot(ncurr, R_rel.T)
+
+    z = vcurr_cp[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    u0f = vcurr_cp[:, 0] * intr.fx / safe_z + intr.cx
+    v0f = vcurr_cp[:, 1] * intr.fy / safe_z + intr.cy
+    ui = jnp.round(u0f).astype(jnp.int32)
+    vi = jnp.round(v0f).astype(jnp.int32)
+
+    du = ui - patch.au
+    dv = vi - patch.av
+    inwin = ((jnp.abs(du) <= radius) & (jnp.abs(dv) <= radius)
+             & patch.ok)
+    tap = jnp.clip((dv + radius) * D + (du + radius), 0, T - 1)
+
+    # branchless tap select: T-1 wide selects on 6-ch rows (pure VPU)
+    r = patch.rows[:, 0:6]
+    for t_i in range(1, T):
+        r = jnp.where((tap == t_i)[:, None],
+                      patch.rows[:, 6 * t_i:6 * t_i + 6], r)
+    d0 = r[:, 0]
+    n_cp = r[:, 1:4]
+    wp = r[:, 4]
+    i_last = r[:, 5]
+
+    # model vertex derived from tap pixel + depth (prediction is on-ray)
+    uf = ui.astype(jnp.float32)
+    vf = vi.astype(jnp.float32)
+    d_cp = jnp.stack([
+        (uf - intr.cx) * d0 * (1.0 / intr.fx),
+        (vf - intr.cy) * d0 * (1.0 / intr.fy),
+        d0,
+    ], axis=-1)
+
+    in_img = (ui >= 0) & (vi >= 0) & (ui < w) & (vi < h) & (z > 0)
+    ok = (in_img & inwin & valid_curr & (d0 > 0)
+          & (jnp.sum(n_cp * n_cp, axis=-1) > 1e-6))
+    s_cp = vcurr_cp
+    dist = jnp.linalg.norm(d_cp - s_cp, axis=-1)
+    sine = jnp.linalg.norm(jnp.cross(ncurr_cp, n_cp), axis=-1)
+    found = ok & (sine <= cfg.angle_threshold) & (dist <= cfg.dist_threshold)
+
+    resid = jnp.sum(n_cp * (s_cp - d_cp), axis=-1)
+    rows = jnp.concatenate(
+        [n_cp, jnp.cross(s_cp, n_cp), resid[:, None]], axis=-1)
+    rows = jnp.where(found[:, None], rows, 0.0)
+    if cfg.icp_use_weighted:
+        weight = jnp.where(found & jnp.isfinite(wp), wp, 0.0)
+    else:
+        weight = found.astype(rows.dtype)
+    A, b, r2 = _gram(rows, weight)
+    icp_res = StepResult(A=A, b=b, residual2=r2,
+                         count=jnp.sum(found.astype(jnp.float32)))
+
+    in_last = ((u0f >= 0) & (v0f >= 0) & (u0f <= w - 1) & (v0f <= h - 1)
+               & (z > 0))
+    depth_ok = ((d0 > 0) & (jnp.abs(z - d0) <= cfg.max_depth_delta_rgb)
+                & (i_last != 0) & inwin)
+    rgb_valid = static_valid & in_last & depth_ok
+    diff = jnp.where(rgb_valid, i_next - i_last, 0.0)
+    corres = RGBCorres(
+        u0f=u0f, v0f=v0f, d0=d0, diff=diff, valid=rgb_valid,
+        sigma_sum=jnp.sum(diff * diff),
+        count=jnp.sum(rgb_valid.astype(jnp.float32)),
+    )
+    return icp_res, corres
+
+
 class SubPixels(NamedTuple):
     """Pose-invariant current-frame inputs of the subsampled GN iterations
     (cfg.tracking_subsample): the per-pixel arrays joint_step/rgb_step read,
@@ -201,12 +362,11 @@ class SubPixels(NamedTuple):
     gy: jnp.ndarray           # (M,) Sobel dI/dy
 
 
-def pack_sub_pixels(stride: int, vmap_curr, nmap_curr, next_depth,
-                    next_image, static_valid, d_idx, d_idy,
-                    intr: CameraIntrinsics) -> SubPixels:
-    """Build the SubPixels bundle with ONE (M, 11) row gather at a static
-    stride-decimated pixel grid (strided slices of image-sized tensors pay
-    a layout shuffle on TPU; a flat gather at computed ids does not)."""
+def _sub_pixels_at(ids: jnp.ndarray, vmap_curr, nmap_curr, next_depth,
+                   next_image, static_valid, d_idx, d_idy,
+                   intr: CameraIntrinsics) -> SubPixels:
+    """Gather the SubPixels bundle at arbitrary flat pixel ids with ONE
+    (M, 11) row gather."""
     from ..core import camera
 
     h, w = intr.height, intr.width
@@ -221,13 +381,62 @@ def pack_sub_pixels(stride: int, vmap_curr, nmap_curr, next_depth,
         static_valid.reshape(P, 1).astype(jnp.float32),
         d_idx.reshape(P, 1), d_idy.reshape(P, 1),
     ], axis=-1)
-    yy = jnp.arange(0, h, stride, dtype=jnp.int32)
-    xx = jnp.arange(0, w, stride, dtype=jnp.int32)
-    ids = (yy[:, None] * w + xx[None, :]).reshape(-1)
     r = tbl[ids]
     return SubPixels(vcurr=r[:, 0:3], ncurr=r[:, 3:6], valid=r[:, 6] > 0.5,
                      i_next=r[:, 7], static_valid=r[:, 8] > 0.5,
                      gx=r[:, 9], gy=r[:, 10])
+
+
+def pack_sub_pixels(stride: int, vmap_curr, nmap_curr, next_depth,
+                    next_image, static_valid, d_idx, d_idy,
+                    intr: CameraIntrinsics) -> SubPixels:
+    """Build the SubPixels bundle with ONE (M, 11) row gather at a static
+    stride-decimated pixel grid (strided slices of image-sized tensors pay
+    a layout shuffle on TPU; a flat gather at computed ids does not)."""
+    h, w = intr.height, intr.width
+    yy = jnp.arange(0, h, stride, dtype=jnp.int32)
+    xx = jnp.arange(0, w, stride, dtype=jnp.int32)
+    ids = (yy[:, None] * w + xx[None, :]).reshape(-1)
+    return _sub_pixels_at(ids, vmap_curr, nmap_curr, next_depth, next_image,
+                          static_valid, d_idx, d_idy, intr)
+
+
+def saliency_ids(k: int, vmap_curr, nmap_curr, next_image, static_valid,
+                 d_idx, d_idy, intr: CameraIntrinsics,
+                 k1=None, k2=None) -> jnp.ndarray:
+    """Pick the k most informative tracked pixels (VERDICT r2 weak-1c):
+    the 6-DoF solve is constrained by intensity-gradient pixels (the
+    photometric term) and curvature-rich pixels (the geometric term); flat
+    textureless wall pixels mostly restate the same plane constraint.
+    score = normalised |grad I|^2 + normalised clipped (|k1|+|k2|) + a
+    pixel-hash dither that fills the remaining slots UNIFORMLY over the
+    valid set (so the ICP term keeps a spatially unbiased sample of the
+    geometry — pure top-k-by-texture would starve textureless regions).
+    Returns (k,) flat pixel ids sorted ascending (gather locality)."""
+    h, w = intr.height, intr.width
+    P = h * w
+    ncurr = nmap_curr.reshape(P, 3)
+    valid = ((vmap_curr.reshape(P, 3)[:, 2] > 0)
+             & (jnp.sum(ncurr * ncurr, axis=-1) > 0.25))
+    sv = static_valid.reshape(P)
+    g2 = jnp.where(sv, (d_idx.reshape(P) ** 2 + d_idy.reshape(P) ** 2), 0.0)
+    g2n = g2 / jnp.maximum(jnp.sum(g2) / jnp.maximum(
+        jnp.sum(sv.astype(jnp.float32)), 1.0), 1e-12)
+    score = jnp.minimum(g2n, 8.0)
+    if k1 is not None:
+        c = jnp.where(valid, jnp.minimum(
+            jnp.abs(k1.reshape(P)) + jnp.abs(k2.reshape(P)), 50.0), 0.0)
+        cn = c / jnp.maximum(jnp.sum(c) / jnp.maximum(
+            jnp.sum(valid.astype(jnp.float32)), 1.0), 1e-12)
+        score = score + jnp.minimum(cn, 8.0)
+    # uniform dither in [0, 1): Weyl sequence on the pixel id
+    ids_all = jnp.arange(P, dtype=jnp.uint32)
+    dither = ((ids_all * jnp.uint32(2654435761)) >> 8).astype(jnp.float32) \
+        * (1.0 / float(1 << 24))
+    score = jnp.where(valid | sv, score + dither, -1.0)
+    # top-k via one descending argsort, then ascending id sort for locality
+    order = jnp.argsort(-score)[:k]
+    return jnp.sort(order).astype(jnp.int32)
 
 
 def joint_cur_pack(vmap_curr, nmap_curr, next_depth, intr):

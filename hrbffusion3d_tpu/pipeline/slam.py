@@ -145,6 +145,8 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
                 "next_k1": curv.k1, "next_k2": curv.k2,
                 "pred_k1": state.pred_k1, "pred_k2": state.pred_k2,
             } if cfg.icp_use_correspondence_search else {}),
+            **({"sal_k1": curv.k1, "sal_k2": curv.k2}
+               if cfg.tracking_topk > 0 else {}),
         )
         tr = odometry.track(state.R, state.t, inp, intr, cfg)
         new_R, new_t = tr.R, tr.t

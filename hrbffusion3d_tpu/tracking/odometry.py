@@ -52,6 +52,10 @@ class TrackingInputs(NamedTuple):
     next_k2: tuple = ()
     last_k1: tuple = ()
     last_k2: tuple = ()
+    # finest-level-only live curvature (1-tuples) for the saliency score
+    # (cfg.tracking_topk) — no pyramids, so cheaper than next_k1/k2
+    sal_k1: tuple = ()
+    sal_k2: tuple = ()
 
 
 def build_pyramid_scalar(x0: jnp.ndarray, levels: int, down) -> tuple:
@@ -75,10 +79,13 @@ def build_inputs(
     cfg: SLAMConfig,
     next_k1: jnp.ndarray | None = None, next_k2: jnp.ndarray | None = None,
     pred_k1: jnp.ndarray | None = None, pred_k2: jnp.ndarray | None = None,
+    sal_k1: jnp.ndarray | None = None, sal_k2: jnp.ndarray | None = None,
 ) -> TrackingInputs:
     """Build all pyramids; transforms the model prediction into world frame
     with the previous pose (initICPModel semantics)."""
     L = cfg.num_pyramid_levels
+    sal = ({"sal_k1": (sal_k1,), "sal_k2": (sal_k2,)}
+           if sal_k1 is not None else {})
     pred_valid = pred_vmap[..., 2] > 0
     vmap_g = jnp.where(
         pred_valid[..., None], pred_vmap @ prev_R.T + prev_t, 0.0
@@ -135,6 +142,7 @@ def build_inputs(
                 "next_k1": pyr("scalars", 1), "next_k2": pyr("scalars", 2),
                 "last_k1": pyr("scalars", 3), "last_k2": pyr("scalars", 4),
             } if use_curv else {}),
+            **sal,
         )
 
     g = cfg.pyramid_gather_decimate
@@ -160,6 +168,7 @@ def build_inputs(
             "last_k1": build_pyramid_scalar(pred_k1, L, down_scalar),
             "last_k2": build_pyramid_scalar(pred_k2, L, down_scalar),
         } if (cfg.icp_use_correspondence_search and next_k1 is not None) else {}),
+        **sal,
     )
 
 
@@ -309,7 +318,8 @@ def track(
 
         def body(it, carry, lvl=lvl, li=li, K=K, Kinv=Kinv, d_idx=d_idx,
                  d_idy=d_idy, model_rows=model_rows, last_rows=last_rows,
-                 static_valid=static_valid, sub=None):
+                 static_valid=static_valid, sub=None, patch=None,
+                 sv_scale=None):
             assoc = None
             if use_sparse:
                 result_rt, lastA, lastb, st, lam = carry
@@ -333,21 +343,39 @@ def track(
             b = jnp.zeros((6,), jnp.float32)
 
             if use_joint:
-                icp_res, corres, assoc = icp_ops.joint_step(
-                    R_curr, t_curr, prev_R_inv, prev_t,
-                    inp.next_vmap[lvl], inp.next_nmap[lvl],
-                    inp.next_depth[lvl],
-                    model_rows, inp.next_intensity[lvl], static_valid,
-                    li, cfg,
-                    assoc_prev=assoc if reassoc > 1 else None,
-                    do_gather=(it % reassoc == 0) if reassoc > 1 else None,
-                    nearest=cfg.tracking_rgb_nearest, cur_pack=cur_pack,
-                    sub=sub)
+                if patch is not None:
+                    # gather-free iteration against the anchored patch
+                    # (cfg.tracking_patch_assoc)
+                    if sub is not None:
+                        vc, nc, vl = sub.vcurr, sub.ncurr, sub.valid
+                        i_nx, sv = sub.i_next, sub.static_valid
+                    else:
+                        vc, nc, vl = cur_pack
+                        i_nx = inp.next_intensity[lvl].reshape(-1)
+                        sv = static_valid
+                    icp_res, corres = icp_ops.joint_step_patch(
+                        R_curr, t_curr, prev_R_inv, prev_t, patch,
+                        cfg.tracking_patch_radius, vc, nc, vl, i_nx, sv,
+                        li, cfg)
+                    assoc = None
+                else:
+                    icp_res, corres, assoc = icp_ops.joint_step(
+                        R_curr, t_curr, prev_R_inv, prev_t,
+                        inp.next_vmap[lvl], inp.next_nmap[lvl],
+                        inp.next_depth[lvl],
+                        model_rows, inp.next_intensity[lvl], static_valid,
+                        li, cfg,
+                        assoc_prev=assoc if reassoc > 1 else None,
+                        do_gather=(it % reassoc == 0) if reassoc > 1 else None,
+                        nearest=cfg.tracking_rgb_nearest, cur_pack=cur_pack,
+                        sub=sub)
                 # subsampled iterations keep the robustifier scale of the
                 # full set: sigmaVal = sqrt(count) (the reference's quirk,
                 # RGBDOdometry.cpp:1017) is multiplied by the stride so
                 # sqrt(count_sub)*stride ~ sqrt(count_full)
-                sv_scale = float(cfg.tracking_subsample) if sub is not None else 1.0
+                if sv_scale is None:
+                    sv_scale = (float(cfg.tracking_subsample)
+                                if sub is not None else 1.0)
                 sigma_val = jnp.where(
                     rgb_only, jnp.float32(-1.0),
                     jnp.sqrt(jnp.maximum(corres.count, 1.0)) * sv_scale)
@@ -433,6 +461,71 @@ def track(
             carry = (result_rt, lastA, lastb, stats, assoc0)
         else:
             carry = (result_rt, lastA, lastb, stats)
+        # finest-level fast drivers (VERDICT r2 next-1): bounded-
+        # displacement patch association and/or saliency top-k pixel
+        # selection.  Both attack the per-iteration correspondence row
+        # gather — the profile's top item (gather-issue-rate bound).
+        drive_patch = (lvl == 0 and use_joint and cfg.tracking_rgb_nearest
+                       and cfg.tracking_patch_assoc and reassoc == 1
+                       and not use_sparse)
+        drive_topk = (lvl == 0 and use_joint and cfg.tracking_topk > 0
+                      and reassoc == 1 and not use_sparse
+                      and cfg.tracking_subsample == 1)
+        if drive_patch or drive_topk:
+            n_pix = li.height * li.width
+            table = None
+            if drive_patch:
+                # camera-frame model normals recovered by rotating the
+                # world-frame pyramid back (nmap_g = nmap_c @ prev_R.T)
+                nmap_c = (inp.last_nmap_g[lvl].reshape(n_pix, 3) @ prev_R
+                          ).reshape(li.height, li.width, 3)
+                base6 = icp_ops.pack_patch_base(
+                    inp.last_depth[lvl], nmap_c, inp.icp_weight[lvl],
+                    inp.last_intensity[lvl])
+                table = icp_ops.build_patch_table(
+                    base6, cfg.tracking_patch_radius)
+
+            def _anchor(rt, vcurr_rows, table=table, li=li):
+                cur = lie.rt_to_mat(prev_R, prev_t) @ lie.se3_inverse(rt)
+                return icp_ops.patch_anchor(
+                    cur[:3, :3], cur[:3, 3], prev_R_inv, prev_t,
+                    vcurr_rows, table, li)
+
+            if drive_topk:
+                ids = icp_ops.saliency_ids(
+                    cfg.tracking_topk, inp.next_vmap[lvl],
+                    inp.next_nmap[lvl], inp.next_intensity[lvl],
+                    static_valid, d_idx, d_idy, li,
+                    k1=(inp.sal_k1[0] if len(inp.sal_k1) else None),
+                    k2=(inp.sal_k2[0] if len(inp.sal_k2) else None))
+                sub_sel = icp_ops._sub_pixels_at(
+                    ids, inp.next_vmap[lvl], inp.next_nmap[lvl],
+                    inp.next_depth[lvl], inp.next_intensity[lvl],
+                    static_valid, d_idx, d_idy, li)
+                scale = (n_pix / cfg.tracking_topk) ** 0.5
+                n_full = min(cfg.tracking_topk_full_iters, iters[0])
+                n_sel = iters[0] - n_full
+            else:
+                sub_sel, scale, n_full, n_sel = None, 1.0, 0, iters[0]
+
+            if n_sel:
+                patch1 = (_anchor(carry[0], sub_sel.vcurr
+                                  if sub_sel is not None else cur_pack[0])
+                          if drive_patch else None)
+                carry = _gn_loop(
+                    functools.partial(body, sub=sub_sel, patch=patch1,
+                                      sv_scale=scale),
+                    n_sel, carry, cfg.tracking_converge_eps)
+            if n_full:
+                # polish iterations at full resolution; the patch anchor is
+                # refreshed at the current estimate
+                patch2 = (_anchor(carry[0], cur_pack[0])
+                          if drive_patch else None)
+                carry = _gn_loop(functools.partial(body, patch=patch2),
+                                 n_full, carry, cfg.tracking_converge_eps)
+            result_rt, lastA, lastb, stats = carry
+            continue
+
         # finest-level pixel subsampling (cfg.tracking_subsample): the
         # first iterations run on a stride-decimated current-frame pixel
         # set, the last tracking_subsample_full_iters at full resolution
