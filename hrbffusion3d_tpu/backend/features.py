@@ -108,16 +108,29 @@ def _orientation(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
 
 
 @functools.lru_cache()
-def _brief_pattern(n_bits: int = 256, patch: int = 31, seed: int = 7):
+def _brief_pattern(n_bits: int = 256, patch: int = 31, seed: int = 7,
+                   learned: bool = True):
+    """BRIEF test pattern (256,4) = (x1,y1,x2,y2).
+
+    ``learned=True`` (default): the greedy-decorrelated pattern produced by
+    ``scripts/train_brief_pattern.py`` — the rBRIEF learning procedure of
+    the reference's ORBextractor bit_pattern_31_ (Rublee et al. §4.3)
+    retrained on the synthetic corpus.  Measured on held-out adversarial
+    views (tests/test_features.py A/B): higher match inlier rate than the
+    gaussian pattern.  ``learned=False``: seeded gaussian BRIEF."""
+    if learned:
+        from .brief_pattern import LEARNED_PATTERN
+
+        return jnp.asarray(LEARNED_PATTERN.astype(np.float32))
     rng = np.random.default_rng(seed)
     sigma = patch / 5.0
     pts = np.clip(rng.normal(0, sigma, (n_bits, 4)), -(patch // 2), patch // 2)
     return jnp.asarray(pts.astype(np.float32))  # (256,4) = (x1,y1,x2,y2)
 
 
-def _descriptors(img: jnp.ndarray, ys, xs, angle):
+def _descriptors(img: jnp.ndarray, ys, xs, angle, learned: bool = True):
     """Rotation-steered 256-bit BRIEF, packed into (N,8) uint32."""
-    pat = _brief_pattern()
+    pat = _brief_pattern(learned=learned)
     ca = jnp.cos(angle)[:, None]
     sa = jnp.sin(angle)[:, None]
     x1 = pat[None, :, 0] * ca - pat[None, :, 1] * sa + xs[:, None]
@@ -150,12 +163,41 @@ def _gauss_blur(img: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _grid_topk(sc: jnp.ndarray, n_total: int, cells: int):
+    """Spatially-distributed selection (the static-shape analogue of
+    ORBextractor::DistributeOctTree, ORBextractor.cc): split the score map
+    into a cells x cells grid and take the top n_total/cells^2 responses
+    per cell, so one textured corner of the image cannot monopolise the
+    budget.  Returns (val, flat_idx) of length <= n_total (cell-padded)."""
+    h, w = sc.shape
+    m = max(1, n_total // (cells * cells))
+    gh, gw = -(-h // cells), -(-w // cells)      # ceil
+    pad = jnp.zeros((gh * cells, gw * cells), sc.dtype)
+    pad = pad.at[:h, :w].set(sc)
+    # (cells, cells, gh*gw) cell-major flat scores
+    cellv = pad.reshape(cells, gh, cells, gw).transpose(0, 2, 1, 3)
+    cellv = cellv.reshape(cells, cells, gh * gw)
+    val, ci = jax.lax.top_k(cellv, m)            # (cells, cells, m)
+    cy = ci // gw
+    cx = ci % gw
+    yy = (jnp.arange(cells)[:, None, None] * gh + cy)
+    xx = (jnp.arange(cells)[None, :, None] * gw + cx)
+    # out-of-image padded pixels carry score 0 => masked by val > 0
+    flat = (jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)).reshape(-1)
+    inb = ((yy < h) & (xx < w)).reshape(-1)
+    return jnp.where(inb, val.reshape(-1), 0.0), flat
+
+
 def detect_and_describe(intensity: jnp.ndarray, n_per_level: int = 256,
                         n_levels: int = 4, scale_factor: float = 1.5,
-                        threshold: float = 20.0) -> Keypoints:
+                        threshold: float = 20.0, grid_cells: int = 0,
+                        learned_pattern: bool = True) -> Keypoints:
     """ORBextractor::operator() equivalent: pyramid FAST + NMS + top-k per
     level, orientation, steered BRIEF.  Output is a fixed-size masked set of
-    n_per_level * n_levels keypoints with level-0 coordinates."""
+    ~n_per_level * n_levels keypoints with level-0 coordinates.
+
+    ``grid_cells > 0`` distributes each level's budget over a grid_cells^2
+    grid (DistributeOctTree semantics, see _grid_topk)."""
     img = intensity
     all_out = []
     scale = 1.0
@@ -168,15 +210,19 @@ def detect_and_describe(intensity: jnp.ndarray, n_per_level: int = 256,
         border = 20
         sc = jnp.where((yy >= border) & (yy < h - border)
                        & (xx >= border) & (xx < w - border), sc, 0.0)
-        flat = sc.reshape(-1)
-        k = min(n_per_level, flat.shape[0])
-        val, idx = jax.lax.top_k(flat, k)
+        if grid_cells > 0:
+            val, idx = _grid_topk(sc, n_per_level, grid_cells)
+            k = val.shape[0]
+        else:
+            flat = sc.reshape(-1)
+            k = min(n_per_level, flat.shape[0])
+            val, idx = jax.lax.top_k(flat, k)
         ys = idx // w
         xs = idx % w
         ok = val > 0
         blur = _gauss_blur(img)
         ang = _orientation(blur, ys, xs)
-        desc = _descriptors(blur, ys, xs, ang)
+        desc = _descriptors(blur, ys, xs, ang, learned=learned_pattern)
         # sub-pixel refinement: parabola fit on the raw FAST response
         # (reduces the ~0.5 px quantisation that dominates the BA
         # information budget at low resolutions)

@@ -71,7 +71,7 @@ class LoopCloser:
 
     def __init__(self, backend: SparseBackend, n_words: int = 512,
                  min_score: float = 0.05, min_inliers: int = 20,
-                 consistency: int = 1, covis_min_shared: int = 15,
+                 consistency: int = 3, covis_min_shared: int = 15,
                  vocab_tree=None):
         self.backend = backend
         self.db = bow.BowDatabase(n_words, tree=vocab_tree)
@@ -83,7 +83,8 @@ class LoopCloser:
         self.min_inliers = min_inliers
         # DetectLoop requires the candidate's covisibility group to be
         # re-detected over ``mnCovisibilityConsistencyTh`` consecutive
-        # keyframes (LoopClosing.cc:169-234); consistency=1 disables the wait.
+        # keyframes (LoopClosing.cc:169-234; th = 3 there, our default
+        # too); consistency=1 disables the wait (short unit tests).
         self.consistency = consistency
         self.covis_min_shared = covis_min_shared
         # list of (covisibility group frozenset, consecutive detections)

@@ -28,7 +28,9 @@ from hrbffusion3d_tpu.eval import ate, synth
 from hrbffusion3d_tpu.pipeline import slam
 
 intr = TUM1
-BASE = SLAMConfig(map_capacity=1 << 19, predict_conf_threshold=0.2,
+# capacity matches scripts/tpu_ab.py so the step_many graphs share the
+# compile cache (early rounds used 1<<19; the orbit peaks well under both)
+BASE = SLAMConfig(map_capacity=393216, predict_conf_threshold=0.2,
                   use_pallas_raycast=True, clean_compact_period=4,
                   raycast_block_height=16, raycast_bisection_iters=6,
                   raycast_false_position=3, clean_crowd_period=4)
@@ -54,6 +56,13 @@ VARIANTS = {
     "iters654": {"pyramid_iterations": (6, 5, 4)},
     "reassoc2+854": {"tracking_reassoc_period": 2,
                      "pyramid_iterations": (8, 5, 4)},
+    # round-3 fast drivers (VERDICT r2 next-1b/1c)
+    "patch": {"tracking_patch_assoc": True},
+    "patch_r2": {"tracking_patch_assoc": True, "tracking_patch_radius": 2},
+    "topk150": {"tracking_topk": 153600, "tracking_topk_full_iters": 2},
+    "topk128": {"tracking_topk": 131072, "tracking_topk_full_iters": 2},
+    "combo": {"tracking_patch_assoc": True, "tracking_topk": 153600,
+              "tracking_topk_full_iters": 2},
 }
 if os.environ.get("ATE_VARIANTS"):
     keep = os.environ["ATE_VARIANTS"].split(",")

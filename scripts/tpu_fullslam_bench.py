@@ -48,9 +48,11 @@ cfg = SLAMConfig(map_capacity=CAP, predict_conf_threshold=0.2,
 scene = synth.complex_room()
 gt = synth.loopy_trajectory(N, n_loops=2, radius=0.55)
 
-sys_ = FullSLAM(intr, cfg, init_pose=gt[0], async_ba=ASYNC,
-                loop_kwargs=dict(min_score=0.05, min_inliers=20,
-                                 consistency=2))
+# LoopCloser at PARITY DEFAULTS (VERDICT r2 weak-2): covisible-relative
+# BoW threshold, min_inliers=20 (ComputeSim3 inlier bar), consistency=3
+# (mnCovisibilityConsistencyTh, LoopClosing.cc:169) — the configuration the
+# parity claims are made for, no overrides
+sys_ = FullSLAM(intr, cfg, init_pose=gt[0], async_ba=ASYNC)
 
 
 def render(i):

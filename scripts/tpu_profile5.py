@@ -27,6 +27,21 @@ cfg = SLAMConfig(map_capacity=393216, predict_conf_threshold=0.2,
                  raycast_block_height=16, raycast_bisection_iters=6,
                  raycast_false_position=3, clean_crowd_period=4)
 
+# optional config overrides: field:value;field:value as argv[1]
+if len(sys.argv) > 1 and sys.argv[1]:
+    import ast
+    import dataclasses
+
+    over = {}
+    for kv in sys.argv[1].split(";"):
+        k, v = kv.split(":", 1)
+        try:
+            over[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            over[k] = v
+    cfg = dataclasses.replace(cfg, **over)
+    print("overrides:", over, flush=True)
+
 scene = synth.default_room()
 poses = synth.orbit_trajectory(8, angle_per_frame=0.004)
 frames = []

@@ -54,7 +54,7 @@ def test_loop_closure_fires_in_pipeline():
     sys = FullSLAM(
         INTR, CFG,
         backend_kwargs=dict(fast_threshold=8.0),
-        loop_kwargs=dict(min_score=0.05, min_inliers=12),
+        loop_kwargs=dict(min_score=0.05, min_inliers=12, consistency=1),
         init_pose=gt[0],
     )
     for i in range(n):
@@ -98,14 +98,14 @@ def test_process_batch_matches_per_frame():
         rgbs.append(c)
 
     sys_a = FullSLAM(INTR, CFG, backend_kwargs=dict(fast_threshold=8.0),
-                     loop_kwargs=dict(min_score=0.05, min_inliers=12),
+                     loop_kwargs=dict(min_score=0.05, min_inliers=12, consistency=1),
                      init_pose=gt[0])
     for i in range(n):
         sys_a.process(slam.FrameInput(depth=depths[i], rgb=rgbs[i]),
                       timestamp=float(i))
 
     sys_b = FullSLAM(INTR, CFG, backend_kwargs=dict(fast_threshold=8.0),
-                     loop_kwargs=dict(min_score=0.05, min_inliers=12),
+                     loop_kwargs=dict(min_score=0.05, min_inliers=12, consistency=1),
                      init_pose=gt[0])
     batch = slam.FrameInput(depth=jnp.stack(depths), rgb=jnp.stack(rgbs))
     sys_b.process_batch(batch, timestamps=[float(i) for i in range(n)])

@@ -61,7 +61,7 @@ def test_full_slam_on_noisy_loopy_sequence():
     gt = synth.loopy_trajectory(n, n_loops=1, radius=0.35)
     scene = synth.complex_room()
     sys = FullSLAM(INTR, cfg, backend_kwargs=dict(fast_threshold=8.0),
-                   loop_kwargs=dict(min_score=0.05, min_inliers=12),
+                   loop_kwargs=dict(min_score=0.05, min_inliers=12, consistency=1),
                    init_pose=gt[0])
     for i in range(n):
         d, c = synth.render_frame_kinect_jit(

@@ -67,7 +67,7 @@ def test_loop_detect_and_correct():
     closure against the (identical-view) first keyframe must cut the final
     keyframe's error substantially."""
     be = SparseBackend(INTR, CFG, fast_threshold=8.0)
-    lc = LoopCloser(be, min_score=0.05, min_inliers=15)
+    lc = LoopCloser(be, min_score=0.05, min_inliers=15, consistency=1)
     gt = _out_and_back_poses()
     # drift large enough that projection-gated association cannot silently
     # re-absorb it (0.25 m ~ 13 px at this toy focal length; the realistic
@@ -154,7 +154,7 @@ def test_two_loops_sequential_correction():
     the second correction must not undo the first (the essential graph keeps
     the first loop's edge)."""
     be = SparseBackend(INTR, CFG, fast_threshold=8.0)
-    lc = LoopCloser(be, min_score=0.05, min_inliers=15)
+    lc = LoopCloser(be, min_score=0.05, min_inliers=15, consistency=1)
     # walk out +x and back, then out +x again and back (revisits origin twice)
     steps = [0, 1, 2, 3, 2, 1, 0, 1, 2, 3, 2, 1, 0]
     gt = []
