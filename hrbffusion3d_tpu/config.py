@@ -269,6 +269,13 @@ class SLAMConfig:
     # finest-level iterations run at full resolution to polish.
     tracking_topk: int = 0
     tracking_topk_full_iters: int = 0
+    # translate the post-fuse index map through clean in PIXEL space on
+    # tombstone frames (no compaction, no crowd evaluation): the only
+    # active kill rules there read the pixel's own surfel attributes,
+    # already present in the extended attr image — skips the full remap
+    # row gather (surfel_map.pixel_keep_mask; exact equivalence tested).
+    # False = always gather the remap (the pre-r3 formulation).
+    clean_pixel_remap: bool = True
 
 
 DEFAULT_CONFIG = SLAMConfig()

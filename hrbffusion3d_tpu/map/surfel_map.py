@@ -699,6 +699,30 @@ def remap_index_map(index_map: jnp.ndarray, remap: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(index_map >= 0, remap[safe], -1)
 
 
+def pixel_keep_mask(attr_ext: jnp.ndarray, cfg: SLAMConfig,
+                    time) -> jnp.ndarray:
+    """(H,W) clean keep flag evaluated directly in PIXEL space from the
+    extended attr image.
+
+    On tombstone frames (no compaction, no crowd/free-space evaluation) the
+    only kill rules are curvature-validity and unstable-timeout
+    (copy_unstable.vert:143-147, 161-164), and both read nothing but the
+    pixel's own surfel attributes — which the extended attr render already
+    fetched.  slam.step uses this to skip the full remap row gather
+    (remap_index_map cost ~2.2 ms/frame at 640x480; this is elementwise).
+    Exactly equal to remap_index_map on such frames: the remap is the
+    identity on survivors and -1 on kills."""
+    t = cfg.curv_valid_threshold
+    k1 = attr_ext[..., A_EXT_K1]
+    k2 = attr_ext[..., A_EXT_K2]
+    curv_bad = (k1 < -t) | (k1 > t) | (k2 < -t) | (k2 > t)
+    unstable = (
+        ((jnp.asarray(time, jnp.float32) - attr_ext[..., A_STAMP])
+         > cfg.unstable_time_limit)
+        & (attr_ext[..., A_CONF] < cfg.confidence_threshold))
+    return (attr_ext[..., A_VALID] > 0.5) & ~curv_bad & ~unstable
+
+
 def compact(m: SurfelMap, keep: jnp.ndarray) -> SurfelMap:
     """Stream-compact survivors to a prefix.
 

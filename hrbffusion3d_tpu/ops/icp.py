@@ -434,9 +434,16 @@ def saliency_ids(k: int, vmap_curr, nmap_curr, next_image, static_valid,
     dither = ((ids_all * jnp.uint32(2654435761)) >> 8).astype(jnp.float32) \
         * (1.0 / float(1 << 24))
     score = jnp.where(valid | sv, score + dither, -1.0)
-    # top-k via one descending argsort, then ascending id sort for locality
-    order = jnp.argsort(-score)[:k]
-    return jnp.sort(order).astype(jnp.int32)
+    # ROW-STRATIFIED top-k: k//h per scanline via a per-row lax.top_k
+    # (width-w sorts), instead of one global 307k argsort (~1.7 ms).  Every
+    # scanline gets an equal budget — stronger spatial stratification than
+    # global top-k — and the returned ids are ascending within each row
+    # (gather locality).  Effective k is (k//h)*h.
+    k_row = max(1, k // h)
+    _, ci = jax.lax.top_k(score.reshape(h, w), k_row)       # (h, k_row)
+    ci = jnp.sort(ci, axis=1)
+    ids = jnp.arange(h, dtype=jnp.int32)[:, None] * w + ci.astype(jnp.int32)
+    return ids.reshape(-1)
 
 
 def joint_cur_pack(vmap_curr, nmap_curr, next_depth, intr):

@@ -192,8 +192,19 @@ def step_impl(state: SLAMState, frame: FrameInput, intr: CameraIntrinsics,
     # ---- PREDICTION (l.1233, predict() 1244-1260) ----
     # translate the post-fuse render through the compaction instead of a
     # third full z-buffer render (IndexMap::predictIndices); fresh unstable
-    # surfels are below the prediction confidence threshold either way
-    idx3 = sm.remap_index_map(idx2, remap)
+    # surfels are below the prediction confidence threshold either way.
+    # On tombstone frames the translation happens in pixel space (no
+    # gather — see surfel_map.pixel_keep_mask)
+    cp = max(cfg.clean_compact_period, 1)
+    cw = max(cfg.clean_crowd_period, 1)
+    if cfg.clean_pixel_remap and cp > 1 and cw > 1:
+        keep_pix = sm.pixel_keep_mask(attr_ext, cfg, time)
+        idx3 = jax.lax.cond(
+            (time % cp != 0) & (time % cw != 0),
+            lambda: jnp.where((idx2 >= 0) & keep_pix, idx2, -1),
+            lambda: sm.remap_index_map(idx2, remap))
+    else:
+        idx3 = sm.remap_index_map(idx2, remap)
     pred_attr = jnp.where((idx3 >= 0)[..., None], attr_ext, 0.0)
     if cfg.raycast_period > 1:
         # HRBF raycast every N-th frame, surfel-splat prediction in between

@@ -502,7 +502,7 @@ def track(
                     ids, inp.next_vmap[lvl], inp.next_nmap[lvl],
                     inp.next_depth[lvl], inp.next_intensity[lvl],
                     static_valid, d_idx, d_idy, li)
-                scale = (n_pix / cfg.tracking_topk) ** 0.5
+                scale = (n_pix / ids.shape[0]) ** 0.5
                 n_full = min(cfg.tracking_topk_full_iters, iters[0])
                 n_sel = iters[0] - n_full
             else:

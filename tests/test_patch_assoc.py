@@ -139,5 +139,5 @@ def test_saliency_ids_sorted_unique():
     k = 2048
     ids = np.asarray(icp_ops.saliency_ids(
         k, pre1.vertex_filtered, pre1.normal, i1, sv, d_idx, d_idy, INTR))
-    assert ids.shape == (k,)
+    assert ids.shape == ((k // INTR.height) * INTR.height,)
     assert np.all(np.diff(ids) > 0)  # sorted strictly ascending => unique
