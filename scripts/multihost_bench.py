@@ -37,17 +37,20 @@ def _free_port():
     return port
 
 
-def run_config(n_proc: int, devices_per_proc: int, reps: int) -> float:
+def run_config(n_proc: int, devices_per_proc: int, reps: int,
+               cams: int = 12, lms: int = 400, pin: bool = False) -> float:
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    n_cpu = os.cpu_count() or 1
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "out.npz")
         procs = [subprocess.Popen(
             [sys.executable, WORKER, "--port", str(port),
              "--nproc", str(n_proc), "--pid", str(pid),
              "--devices", str(devices_per_proc), "--out", out,
-             "--reps", str(reps)],
+             "--reps", str(reps), "--cams", str(cams), "--lms", str(lms)]
+            + (["--cpu", str(pid % n_cpu)] if pin else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
             for pid in range(n_proc)]
         logs = [p.communicate(timeout=900)[0].decode() for p in procs]
@@ -65,12 +68,28 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
-    t1 = run_config(1, args.devices, args.reps)
-    t2 = run_config(2, args.devices // 2, args.reps)
-    eff = t1 / t2
-    print(f"1-process ({args.devices} dev): {t1*1000:.1f} ms/BA")
-    print(f"2-process ({args.devices // 2} dev each): {t2*1000:.1f} ms/BA")
-    print(f"scaling efficiency (t1/t2): {eff:.3f}")
+    # two problem sizes: the tiny round-2 problem (dispatch-dominated —
+    # quoted only for continuity) and a compute-dominated one (VERDICT r2
+    # next-6: size the per-shard problem so compute >> dispatch), both
+    # contended (free-for-all on the host's CPUs) and pinned (each process
+    # bound to its own CPU — the honest 2-host analogue: a real host pair
+    # never shares cores)
+    # resources are equal per configuration: the 1-process run always gets
+    # every core; the 2-process "pinned" run binds each process to its own
+    # core (total = every core) so the two jax runtimes cannot thrash each
+    # other's scheduler — the honest 2-host analogue (real hosts never
+    # share cores).  "contended" lets both processes float (the round-2
+    # protocol, kept for continuity).
+    for label, cams, lms in (("tiny (r2 continuity)", 12, 400),
+                             ("compute-dominated", 96, 24000)):
+        t1 = run_config(1, args.devices, args.reps, cams, lms, False)
+        for pin in (False, True):
+            t2 = run_config(2, args.devices // 2, args.reps, cams, lms, pin)
+            eff = t1 / t2
+            tag = "pinned" if pin else "contended"
+            print(f"{label:22s} {tag:9s}: 1proc {t1*1000:8.1f} ms/BA  "
+                  f"2proc {t2*1000:8.1f} ms/BA  efficiency {eff:.3f}",
+                  flush=True)
 
 
 if __name__ == "__main__":

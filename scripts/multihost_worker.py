@@ -71,7 +71,14 @@ def main():
     ap.add_argument("--devices", type=int, default=4)
     ap.add_argument("--out", required=True)
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--cams", type=int, default=12)
+    ap.add_argument("--lms", type=int, default=400)
+    ap.add_argument("--cpu", type=int, default=-1,
+                    help="pin this process to the given CPU (sched_setaffinity)")
     args = ap.parse_args()
+
+    if args.cpu >= 0:
+        os.sched_setaffinity(0, {args.cpu})
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -94,7 +101,7 @@ def main():
     mesh = multihost.global_mesh()
     assert mesh.size == args.nproc * args.devices
 
-    prob = make_problem()
+    prob = make_problem(n_cams=args.cams, n_lms=args.lms)
     sb = dist_ba.partition_problem(prob, mesh.size)
     sbg = multihost.globalize_sharded_ba(sb, mesh)
     run = dist_ba.make_optimizer(mesh)

@@ -63,6 +63,11 @@ VARIANTS = {
     "topk128": {"tracking_topk": 131072, "tracking_topk_full_iters": 2},
     "combo": {"tracking_patch_assoc": True, "tracking_topk": 153600,
               "tracking_topk_full_iters": 2},
+    # chaos probes: mathematically negligible perturbations (1e-8 relative
+    # weight nudge) — they measure the e2e ATE's sensitivity floor to ANY
+    # fp-level change (discrete fuse winners / rounding flips compound)
+    "wnudge": {"icp_weight": 10.0000002},
+    "wnudge2": {"icp_weight": 10.0000004},
 }
 if os.environ.get("ATE_VARIANTS"):
     keep = os.environ["ATE_VARIANTS"].split(",")
