@@ -44,7 +44,12 @@ def save(path: str, system: FullSLAM):
             dict(kf_id=k.kf_id, frame_time=k.frame_time, pose=k.pose,
                  kp_xy=k.kp_xy, kp_cam=k.kp_cam, desc=k.desc,
                  kp_valid=k.kp_valid, landmark_ids=k.landmark_ids,
-                 kp_level=k.kp_level)
+                 kp_level=k.kp_level,
+                 # the 13x13 depth-patch information matrices: without them
+                 # restored keyframes silently fall back to the parametric
+                 # depth covariance in BA and the resumed trajectory drifts
+                 # from the uninterrupted one (the r3 bit-exactness fix)
+                 kp_info=k.kp_info)
             for k in system.backend.keyframes
         ],
         "landmarks": system.backend.landmarks,
@@ -53,6 +58,17 @@ def save(path: str, system: FullSLAM):
         "trajectory": system.trajectory,
         "timestamps": system.timestamps,
         "kf_of_frame": system.kf_of_frame,
+        # keyframe-cadence counters (async path + process_batch read these)
+        "last_kf_time": system._last_kf_time,
+        "next_kf_id": system._next_kf_id,
+        "loop_closures": system.loop_closures,
+        # loop-closer dynamic state: prior loop edges feed the essential
+        # graph; consistency groups carry the mnCovisibilityConsistencyTh
+        # detection window across the resume point
+        "loop_edges": (system.loop_closer.loop_edges
+                       if system.loop_closer is not None else []),
+        "consistent_groups": (system.loop_closer._consistent_groups
+                              if system.loop_closer is not None else []),
     })
     with open(path, "wb") as f:
         sb = buf.getvalue()
@@ -85,6 +101,9 @@ def load(path: str, system: FullSLAM) -> FullSLAM:
     system.trajectory = data["trajectory"]
     system.timestamps = data["timestamps"]
     system.kf_of_frame = data["kf_of_frame"]
+    system._last_kf_time = data.get("last_kf_time", system._last_kf_time)
+    system._next_kf_id = data.get("next_kf_id", len(be.keyframes))
+    system.loop_closures = data.get("loop_closures", [])
     # rebuild the BoW database (deterministic vocabulary)
     if system.loop_closer is not None:
         from ..backend import bow as bow_mod
@@ -93,4 +112,7 @@ def load(path: str, system: FullSLAM) -> FullSLAM:
         for kf in be.keyframes:
             system.loop_closer.db.add(
                 jnp.asarray(kf.desc), jnp.asarray(kf.kp_valid))
+        system.loop_closer.loop_edges = data.get("loop_edges", [])
+        system.loop_closer._consistent_groups = data.get(
+            "consistent_groups", [])
     return system
