@@ -276,6 +276,15 @@ class SLAMConfig:
     # row gather (surfel_map.pixel_keep_mask; exact equivalence tested).
     # False = always gather the remap (the pre-r3 formulation).
     clean_pixel_remap: bool = True
+    # active-window/archive map split (surfel_map.exchange_active): > 0
+    # enables it, the value is the INITIAL archive capacity (grows by
+    # doubling).  map_capacity then sizes the ACTIVE map — the per-frame
+    # working set slam.step runs on — so dense per-frame cost is bounded
+    # by the active window regardless of total map size (the reference
+    # masks inactive submaps per-frame, index_map.vert:41-51, but still
+    # pays a full-buffer pass; on TPU the inactive rows physically leave).
+    # 0 = single-map mode (everything in map_capacity, r1/r2 behavior).
+    active_capacity: int = 0
 
 
 DEFAULT_CONFIG = SLAMConfig()

@@ -35,6 +35,7 @@ changes (keyframe insert / loop closure — ``refresh_active_channel``).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -736,6 +737,98 @@ def compact(m: SurfelMap, keep: jnp.ndarray) -> SurfelMap:
     data = data.at[:, VALID].set(
         (jnp.arange(n) < new_count).astype(jnp.float32))
     return SurfelMap(data=data, count=new_count)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def exchange_active(act: SurfelMap, arch: SurfelMap,
+                    submap_active: jnp.ndarray, time, cfg: SLAMConfig):
+    """Active-window <-> archive surfel exchange (the map-scale axis,
+    VERDICT r2 next-3).
+
+    The reference masks inactive-submap surfels out of prediction/fusion/
+    clean (index_map.vert:41-51, copy_unstable.vert:99-101) but still pays
+    a full-buffer pass per frame; on TPU every per-frame map op costs by
+    STATIC capacity, so here the inactive surfels physically leave the
+    per-frame working set: the ACTIVE map (fixed small capacity — what
+    slam.step sees) holds only active-submap surfels, everything else
+    lives in an ARCHIVE array this function maintains.  Called from
+    FullSLAM whenever the covisible set changes (keyframe cadence), it
+    moves newly-inactive rows to the archive and reactivated rows back.
+
+    Per-frame dense cost is thereby bounded by the active-window size
+    regardless of total map size; the exchange itself is two stable
+    argsort+gather compactions amortized over the keyframe period.
+
+    Deviation (documented): the curvature/timeout kill rules
+    (copy_unstable.vert:143-164) apply to leaving rows at exchange time
+    instead of per-frame, so kills of inactive surfels land at most one
+    keyframe period later than the reference's.
+
+    Returns (active', archive', n_dropped) — n_dropped counts rows lost to
+    capacity overflow (0 in healthy runs)."""
+    Ca = act.data.shape[0]
+    Cr = arch.data.shape[0]
+    nch = act.data.shape[1]
+    ns = submap_active.shape[0]
+
+    t = cfg.curv_valid_threshold
+    tf = jnp.asarray(time, jnp.float32)
+
+    def junk(rows):
+        k1 = rows[:, K1]
+        k2 = rows[:, K2]
+        curv_bad = (k1 < -t) | (k1 > t) | (k2 < -t) | (k2 > t)
+        unstable = (((tf - rows[:, STAMP]) > cfg.unstable_time_limit)
+                    & (rows[:, CONF] < cfg.confidence_threshold))
+        return curv_bad | unstable
+
+    sub_a = jnp.clip(act.data[:, SUBMAP].astype(jnp.int32), 0, ns - 1)
+    va = act.data[:, VALID] > 0
+    on_a = va & submap_active[sub_a]
+    leave = va & ~on_a & ~junk(act.data)
+
+    sub_r = jnp.clip(arch.data[:, SUBMAP].astype(jnp.int32), 0, ns - 1)
+    vr = arch.data[:, VALID] > 0
+    enter = vr & submap_active[sub_r] & ~junk(arch.data)
+    keep_r = vr & ~enter
+
+    # ---- new active = [stay-compacted | enter-compacted] ----
+    stay = act.data[jnp.argsort(jnp.logical_not(on_a), stable=True)]
+    n_stay = jnp.sum(on_a.astype(jnp.int32))
+    enter_blk = arch.data[jnp.argsort(jnp.logical_not(enter),
+                                      stable=True)[:Ca]]
+    n_enter_all = jnp.sum(enter.astype(jnp.int32))
+    n_enter = jnp.minimum(jnp.minimum(n_enter_all, Ca), Ca - n_stay)
+
+    buf = jnp.zeros((2 * Ca, nch), act.data.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, stay, (0, 0))
+    buf = jax.lax.dynamic_update_slice(buf, enter_blk, (n_stay, 0))
+    act_data = buf[:Ca]
+    n_act = n_stay + n_enter
+    act_valid = (jnp.arange(Ca, dtype=jnp.int32) < n_act)
+    act_data = act_data.at[:, VALID].set(act_valid.astype(jnp.float32))
+    # refresh the cached activity channel for the whole active map
+    new_sub = jnp.clip(act_data[:, SUBMAP].astype(jnp.int32), 0, ns - 1)
+    act_data = act_data.at[:, ACT].set(
+        (submap_active[new_sub] & act_valid).astype(jnp.float32))
+
+    # ---- new archive = [keep-compacted | leave-compacted] ----
+    keep_blk = arch.data[jnp.argsort(jnp.logical_not(keep_r), stable=True)]
+    n_keep = jnp.sum(keep_r.astype(jnp.int32))
+    leave_blk = act.data[jnp.argsort(jnp.logical_not(leave),
+                                     stable=True)[:Ca]]
+    n_leave = jnp.sum(leave.astype(jnp.int32))
+    buf2 = jnp.zeros((Cr + Ca, nch), arch.data.dtype)
+    buf2 = jax.lax.dynamic_update_slice(buf2, keep_blk, (0, 0))
+    buf2 = jax.lax.dynamic_update_slice(buf2, leave_blk, (n_keep, 0))
+    arch_data = buf2[:Cr]
+    n_arch = jnp.minimum(n_keep + n_leave, Cr)
+    arch_data = arch_data.at[:, VALID].set(
+        (jnp.arange(Cr, dtype=jnp.int32) < n_arch).astype(jnp.float32))
+
+    dropped = (n_enter_all - n_enter) + (n_keep + n_leave - n_arch)
+    return (SurfelMap(data=act_data, count=n_act),
+            SurfelMap(data=arch_data, count=n_arch), dropped)
 
 
 def apply_submap_deltas(m: SurfelMap, deltas: jnp.ndarray) -> SurfelMap:

@@ -60,6 +60,10 @@ class FullSLAM:
         self.timestamps: list[float] = []
         self.kf_of_frame: list[int] = []
         self.loop_closures: list[tuple[int, int]] = []
+        # active-window/archive split (cfg.active_capacity > 0): inactive-
+        # submap surfels live here, outside the per-frame working set
+        self.archive: sm.SurfelMap | None = None
+        self.archive_dropped = 0
 
         # --- pipeline parallelism between tracking and mapping/BA (SURVEY
         # §2.14): the reference BLOCKS the tracking thread on LocalMapping's
@@ -122,10 +126,7 @@ class FullSLAM:
             except queue.Empty:
                 return
             self._inflight -= 1
-            self.state = self.state._replace(
-                active_submaps=jnp.asarray(mask),
-                map=sm.refresh_active_channel(self.state.map,
-                                              jnp.asarray(mask)))
+            self._refresh_active(mask)
             if deltas is not None:
                 self._apply_correction(deltas, kf_id)
                 self.async_corrections += 1
@@ -153,6 +154,44 @@ class FullSLAM:
         if self._backend_dev is None:
             return contextlib.nullcontext()
         return jax.default_device(self._backend_dev)
+
+    # ------------------------------------------------------------------ #
+    def _refresh_active(self, mask) -> None:
+        """Push a new covisible-keyframe set into the dense map: either the
+        cached per-surfel ACT channel (single-map mode) or a full
+        active<->archive exchange (cfg.active_capacity > 0)."""
+        mask = jnp.asarray(mask)
+        if self.cfg.active_capacity > 0:
+            if self.archive is None:
+                self.archive = sm.empty_map(self.cfg.active_capacity)
+            act2, arch2, dropped = sm.exchange_active(
+                self.state.map, self.archive, mask,
+                jnp.asarray(int(self.state.time), jnp.int32), self.cfg)
+            self.state = self.state._replace(map=act2, active_submaps=mask)
+            self.archive = arch2
+            self.archive_dropped += int(dropped)
+            cap_r = self.archive.data.shape[0]
+            if int(self.archive.count) > 0.75 * cap_r:
+                self.archive = sm.grow(self.archive, 2 * cap_r)
+        else:
+            self.state = self.state._replace(
+                active_submaps=mask,
+                map=sm.refresh_active_channel(self.state.map, mask))
+
+    def full_map(self) -> sm.SurfelMap:
+        """Merged active + archive map (exports / evaluation)."""
+        if self.archive is None:
+            return self.state.map
+        a = np.asarray(self.state.map.data)
+        na = int(self.state.map.count)
+        r = np.asarray(self.archive.data)
+        nr = int(self.archive.count)
+        merged = np.concatenate([a[:na], r[:nr]])
+        cap = max(merged.shape[0], 1)
+        data = np.zeros((cap, a.shape[1]), np.float32)
+        data[: merged.shape[0]] = merged
+        return sm.SurfelMap(data=jnp.asarray(data),
+                            count=jnp.int32(merged.shape[0]))
 
     # ------------------------------------------------------------------ #
     def _kf_inputs(self, frame: slam.FrameInput):
@@ -225,15 +264,9 @@ class FullSLAM:
                 self._last_kf_time = time
                 # refresh the active (covisible) keyframe set that masks
                 # dense prediction/fusion/cleaning (HRBFFusion.cpp:1160-1170)
-                mask = jnp.asarray(
-                    self.backend.active_submap_mask(kf_id, cfg.max_submaps))
-                self.state = self.state._replace(
-                    submap_idx=jnp.int32(kf_id),
-                    active_submaps=mask,
-                    # push the new covisible set into the cached per-surfel
-                    # activity channel (per-frame steps read the cache)
-                    map=sm.refresh_active_channel(self.state.map, mask),
-                )
+                mask = self.backend.active_submap_mask(kf_id, cfg.max_submaps)
+                self.state = self.state._replace(submap_idx=jnp.int32(kf_id))
+                self._refresh_active(mask)
                 with self._backend_ctx():
                     deltas = self.backend.local_ba()
                 if deltas is not None:
@@ -334,12 +367,9 @@ class FullSLAM:
                                 if self.loop_closer is not None else None)
                         loop_deltas = (self.loop_closer.correct(cand)
                                        if cand is not None else None)
-                    mask = jnp.asarray(mask_np)
                     self.state = self.state._replace(
-                        submap_idx=jnp.int32(kf_id),
-                        active_submaps=mask,
-                        map=sm.refresh_active_channel(self.state.map, mask),
-                    )
+                        submap_idx=jnp.int32(kf_id))
+                    self._refresh_active(mask_np)
                     if deltas is not None:
                         self._apply_correction(deltas, kf_id)
                     if loop_deltas is not None:
@@ -360,6 +390,10 @@ class FullSLAM:
         self.state = self.state._replace(
             map=sm.apply_submap_deltas(self.state.map, jnp.asarray(pad))
         )
+        if self.archive is not None:
+            # archived (inactive) surfels ride their submap's correction too
+            self.archive = sm.apply_submap_deltas(self.archive,
+                                                  jnp.asarray(pad))
         # live pose rides with its keyframe's correction
         d = deltas[current_kf]
         pose = d @ np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
@@ -384,4 +418,4 @@ class FullSLAM:
     def save_map_ply(self, path: str, conf_threshold: float = 0.0) -> int:
         from ..io import ply
 
-        return ply.save_ply(path, self.state.map, conf_threshold)
+        return ply.save_ply(path, self.full_map(), conf_threshold)
