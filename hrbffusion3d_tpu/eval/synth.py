@@ -338,6 +338,42 @@ def loopy_trajectory(n_frames: int, n_loops: int = 2, radius: float = 0.7,
     return np.asarray(poses, np.float32)
 
 
+def panorama_trajectory(n_frames: int, n_turns: int = 2,
+                        radius: float = 0.25,
+                        center=(0.0, 0.55, 0.9)) -> np.ndarray:
+    """Full-revolution panning trajectory: the camera walks a small circle
+    while its HEADING sweeps 360 deg per turn, so keyframes looking
+    backward share no landmarks with those looking forward — covisibility
+    breaks and closing the revolution is a TRUE loop-closure event (the
+    classic ORB-SLAM kitchen-pan scenario; LoopClosing.cc:407-599).
+    loopy_trajectory keeps one look-at target, so projection-gated
+    association absorbs its drift and no closure is ever needed
+    (NOTES_R2 lesson)."""
+    poses = []
+    c = np.asarray(center, np.float64)
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        ang = 2 * np.pi * n_turns * s
+        eye = c + np.array([radius * np.sin(ang), 0.06 * np.sin(3.1 * ang),
+                            radius * np.cos(ang)], np.float64)
+        # heading sweeps with the walk (looks outward from the circle),
+        # plus a slow nod for rotational excitation
+        fwd = np.array([np.sin(ang + 0.35 * np.sin(0.7 * ang)),
+                        0.12 * np.sin(1.3 * ang),
+                        np.cos(ang + 0.35 * np.sin(0.7 * ang))], np.float64)
+        fwd /= np.linalg.norm(fwd)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R = np.stack([right, up2, fwd], axis=1)
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = eye
+        poses.append(T)
+    return np.asarray(poses, np.float32)
+
+
 def render_sequence(scene: Scene, poses_wc: np.ndarray, intr: CameraIntrinsics):
     """Render a whole sequence; returns (depths (N,H,W), rgbs (N,H,W,3))."""
     depths, rgbs = [], []

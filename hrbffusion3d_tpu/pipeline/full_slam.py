@@ -64,6 +64,9 @@ class FullSLAM:
         # submap surfels live here, outside the per-frame working set
         self.archive: sm.SurfelMap | None = None
         self.archive_dropped = 0
+        # wall-clock per stage (seconds, cumulative) — the full-system
+        # bench's breakdown of where backend time goes (VERDICT r2 next-2)
+        self.stage_s: dict = {}
 
         # --- pipeline parallelism between tracking and mapping/BA (SURVEY
         # §2.14): the reference BLOCKS the tracking thread on LocalMapping's
@@ -316,6 +319,13 @@ class FullSLAM:
             self.process(first, timestamp=timestamps[0])
             start = 1
 
+        import time as _t
+
+        def _tick(key, t0):
+            t1 = _t.perf_counter()
+            self.stage_s[key] = self.stage_s.get(key, 0.0) + (t1 - t0)
+            return t1
+
         i = start
         while i < n:
             # chunk up to (and including) the next keyframe-cadence frame
@@ -323,9 +333,11 @@ class FullSLAM:
             until_kf = cfg.keyframe_period - (time_now - self._last_kf_time)
             k = min(n - i, max(1, until_kf))
             chunk = jax.tree.map(lambda x: x[i:i + k], frames)
+            t0 = _t.perf_counter()
             self.state, poses = slam.step_many_traj(
                 self.state, chunk, self.intr, cfg)
             poses = np.asarray(poses)
+            t0 = _tick("dense_scan", t0)
             kf_idx = int(self.state.submap_idx)
             for j in range(k):
                 self.trajectory.append(poses[j])
@@ -355,27 +367,34 @@ class FullSLAM:
                             (intensity, depth_f, pose, time, kf_id))
                 else:
                     with self._backend_ctx():
+                        t0 = _t.perf_counter()
                         intensity, depth_f = self._kf_inputs(last)
                         kf_id = self.backend.insert_keyframe(
                             intensity, depth_f, pose, time)
+                        t0 = _tick("kf_insert", t0)
                         self._next_kf_id = kf_id + 1
                         self._last_kf_time = time
                         mask_np = self.backend.active_submap_mask(
                             kf_id, cfg.max_submaps)
+                        t0 = _tick("covis_mask", t0)
                         deltas = self.backend.local_ba()
+                        t0 = _tick("local_ba", t0)
                         cand = (self.loop_closer.add_keyframe(kf_id)
                                 if self.loop_closer is not None else None)
                         loop_deltas = (self.loop_closer.correct(cand)
                                        if cand is not None else None)
+                        t0 = _tick("loop", t0)
                     self.state = self.state._replace(
                         submap_idx=jnp.int32(kf_id))
                     self._refresh_active(mask_np)
+                    t0 = _tick("refresh_active", t0)
                     if deltas is not None:
                         self._apply_correction(deltas, kf_id)
                     if loop_deltas is not None:
                         self._apply_correction(loop_deltas, kf_id)
                         self.loop_closures.append(
                             (cand.match_kf, cand.query_kf))
+                    _tick("corrections", t0)
             self.state, self.cfg = slam.ensure_capacity(self.state, self.cfg)
             cfg = self.cfg
         return np.stack(self.trajectory[-n:])
