@@ -25,6 +25,8 @@ from typing import Optional
 
 import numpy as np
 
+import jax
+
 import jax.numpy as jnp
 
 from ..config import CameraIntrinsics, SLAMConfig
@@ -118,7 +120,8 @@ class SparseBackend:
                  n_features: int = 1024, local_window: int = 5,
                  fast_threshold: float = 12.0, sigma_px: float = 1.0,
                  mesh=None, proj_gate_px: float = 4.0,
-                 use_patch_covariance: bool = True):
+                 use_patch_covariance: bool = True,
+                 detect_device=None):
         self.intr = intr
         self.cfg = cfg
         self.n_features = n_features
@@ -139,6 +142,13 @@ class SparseBackend:
         # single-device one
         self.mesh = mesh
         self._dist_opt = None
+        # optional device override for the (jitted, single-dispatch)
+        # feature-detection graph: ORBextractor is the reference's hottest
+        # CPU component and measures ~1.1 s per keyframe on this host's 2
+        # CPU cores vs one ~30 ms accelerator dispatch — FullSLAM passes
+        # the dense device here while keeping BA and the host-side graph
+        # logic on the CPU backend
+        self.detect_device = detect_device
         self.keyframes: list[Keyframe] = []
         self.landmarks: dict[int, np.ndarray] = {}      # id -> world (3,)
         self.lm_obs: dict[int, list[tuple[int, int]]] = {}  # id -> [(kf, kp)]
@@ -155,10 +165,16 @@ class SparseBackend:
 
     # ------------------------------------------------------------------ #
     def _extract(self, intensity: jnp.ndarray, depth: jnp.ndarray):
-        kp = features.detect_and_describe(
-            intensity, n_per_level=self.n_features // 4,
-            threshold=self.fast_threshold,
-        )
+        import contextlib
+
+        ctx = (jax.default_device(self.detect_device)
+               if self.detect_device is not None else contextlib.nullcontext())
+        with ctx:
+            kp = features.detect_and_describe(
+                intensity, n_per_level=self.n_features // 4,
+                threshold=self.fast_threshold,
+            )
+            kp = jax.tree.map(np.asarray, kp)
         xy = np.asarray(kp.xy)
         valid = np.asarray(kp.valid)
         d = np.asarray(depth)
