@@ -260,6 +260,16 @@ def detect_and_describe(intensity: jnp.ndarray, n_per_level: int = 256,
     return Keypoints(xy=xy, score=score, angle=ang, level=lvl, desc=desc, valid=ok)
 
 
+# jitted wrapper: detect_and_describe builds one fixed graph per (shape,
+# budget, threshold, ...) — eager execution is fine on CPU (tiny ops) but
+# catastrophic through the remote-TPU path, where EVERY eager op pays the
+# ~27 ms dispatch (measured ~15 s/keyframe eager vs one dispatch jitted)
+detect_and_describe_jit = jax.jit(
+    detect_and_describe,
+    static_argnames=("n_per_level", "n_levels", "scale_factor", "threshold",
+                     "grid_cells", "learned_pattern"))
+
+
 def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     """(N1,8)x(N2,8) packed descriptors -> (N1,N2) Hamming distances."""
     x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])

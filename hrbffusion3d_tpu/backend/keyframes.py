@@ -170,8 +170,8 @@ class SparseBackend:
         ctx = (jax.default_device(self.detect_device)
                if self.detect_device is not None else contextlib.nullcontext())
         with ctx:
-            kp = features.detect_and_describe(
-                intensity, n_per_level=self.n_features // 4,
+            kp = features.detect_and_describe_jit(
+                jnp.asarray(intensity), n_per_level=self.n_features // 4,
                 threshold=self.fast_threshold,
             )
             kp = jax.tree.map(np.asarray, kp)
