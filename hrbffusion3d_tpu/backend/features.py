@@ -153,11 +153,11 @@ def _descriptors(img: jnp.ndarray, ys, xs, angle, learned: bool = True):
 
 def _gauss_blur(img: jnp.ndarray) -> jnp.ndarray:
     """7x7 separable Gaussian (ORB blurs before describing)."""
-    k = jnp.array([0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125])
+    k = [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125]
     out = img
     for axis in (0, 1):
         acc = jnp.zeros_like(out)
-        for i, kv in enumerate(list(np.asarray(k))):
+        for i, kv in enumerate(k):
             acc = acc + kv * jnp.roll(out, i - 3, axis=axis)
         out = acc
     return out
