@@ -331,7 +331,12 @@ DENSE_SOLVER_MAX_CAMS = 96
 def optimize(prob: BAProblem, iters_robust: int = 5, iters_final: int = 10,
              chi2_outlier: float = HUBER_DELTA2, solver: str = "auto",
              pairs: BAPairs | None = None, cg_iters: int = 200):
-    """The reference's two-phase protocol (Optimizer.cc:1258-1291):
+    """(All matmuls/einsums trace at float32 precision — the TPU default
+    decomposes f32 contractions into bf16 passes, which costs millimetres
+    in the Schur Hessians: the on-chip 211-frame run measured ATE 31 mm vs
+    the CPU backend's 14 mm before this pin; g2o is full f64.)
+
+    The reference's two-phase protocol (Optimizer.cc:1258-1291):
     ``iters_robust`` Huber iterations, demote edges with chi2 > 7.815 or
     negative depth, then ``iters_final`` plain iterations.
 
@@ -348,6 +353,14 @@ def optimize(prob: BAProblem, iters_robust: int = 5, iters_final: int = 10,
             raise ValueError("dense BA solver under jit needs precomputed "
                              "pairs=build_pairs(cam_idx, lm_idx)")
         pairs = build_pairs(prob.cam_idx, prob.lm_idx)
+
+    with jax.default_matmul_precision("float32"):
+        return _optimize_body(prob, iters_robust, iters_final, chi2_outlier,
+                              solver, pairs, cg_iters)
+
+
+def _optimize_body(prob, iters_robust, iters_final, chi2_outlier, solver,
+                   pairs, cg_iters):
 
     def rb(i, carry):
         prob, chi = carry
