@@ -167,7 +167,10 @@ def optimize(g: PoseGraph, iterations: int = 20, damping: float = 1e-6,
         g, _ = carry
         return _iteration(g, damping, use_cg, cg_iters)
 
-    return jax.lax.fori_loop(0, iterations, body, (g, jnp.float32(0)))
+    # f32-precision contractions (the TPU default's bf16 passes cost mm
+    # in the Hessian — same pin as backend/ba.py; g2o is full f64)
+    with jax.default_matmul_precision("float32"):
+        return jax.lax.fori_loop(0, iterations, body, (g, jnp.float32(0)))
 
 
 optimize_jit = jax.jit(optimize, static_argnames=("iterations", "cg_iters"))

@@ -190,6 +190,11 @@ def make_optimizer(mesh: Mesh, iters_robust: int = 5, iters_final: int = 10):
 
     @jax.jit
     def run(sb: ShardedBA):
+        # f32-precision contractions (same pin as backend/ba.py)
+        with jax.default_matmul_precision("float32"):
+            return _run_body(sb)
+
+    def _run_body(sb: ShardedBA):
         def inner(cams, points, obs, cam_idx, lm_idx, info, edge_valid, fixed,
                   pair_e, pair_f, pair_valid):
             def rb(_, carry):
