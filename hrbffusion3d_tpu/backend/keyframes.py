@@ -149,6 +149,9 @@ class SparseBackend:
         # the dense device here while keeping BA and the host-side graph
         # logic on the CPU backend
         self.detect_device = detect_device
+        # separate (default None = current default device, i.e. the CPU
+        # backend under FullSLAM): see the accuracy note at the BA solve
+        self.ba_device = None
         self.keyframes: list[Keyframe] = []
         self.landmarks: dict[int, np.ndarray] = {}      # id -> world (3,)
         self.lm_obs: dict[int, list[tuple[int, int]]] = {}  # id -> [(kf, kp)]
@@ -529,14 +532,17 @@ class SparseBackend:
             new_tcw = np.asarray(cams_d)[:n_cams]
             new_points = dist_ba.gather_points(points_d, n_lms)
         else:
-            # like detection, the padded-bucket BA solve is one jitted
-            # dispatch — send it to the dense device when configured (the
-            # 15-iteration Schur GN measures ~3.7 s on this host's 2 CPU
-            # cores vs one ~50 ms accelerator dispatch per bucket)
+            # the padded-bucket BA solve COULD go to the dense device like
+            # detection (one ~50 ms dispatch vs ~3.7 s on these 2 CPU
+            # cores), but the TPU's f32 scatter-add accumulation order
+            # costs real accuracy in the Schur system (on-chip 211-frame
+            # ATE: 22.6 mm TPU vs 14.3 mm CPU, both f32-pinned; g2o is
+            # f64) — so BA stays on the host CPU by default (ba_device)
+            # and the async pipeline hides its latency instead
             import contextlib
 
-            ctx = (jax.default_device(self.detect_device)
-                   if self.detect_device is not None
+            ctx = (jax.default_device(self.ba_device)
+                   if self.ba_device is not None
                    else contextlib.nullcontext())
             with ctx:
                 out, _ = ba.optimize_jit(prob, solver=solver, pairs=pairs)
