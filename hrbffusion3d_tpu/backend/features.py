@@ -301,3 +301,8 @@ def match(k1: Keypoints, k2: Keypoints, max_dist: int = 50,
         & (dmin.astype(jnp.float32) < ratio * d2nd.astype(jnp.float32))
     )
     return Matches(idx2=best, dist=dmin, valid=valid)
+
+
+# jitted matcher (fixed keypoint-set shapes): eager execution costs ~0.3 s
+# per call on the 2-core host and a dispatch per op through the remote TPU
+match_jit = jax.jit(match, static_argnames=("max_dist", "ratio"))

@@ -230,7 +230,7 @@ class SparseBackend:
         # hide loops inside the covisibility graph.
         Tcw_new = np.linalg.inv(pose)
         for prev in self.keyframes[-3:][::-1]:
-            m = features.match(
+            m = features.match_jit(
                 kp,
                 features.Keypoints(
                     xy=jnp.asarray(prev.kp_xy), score=jnp.zeros(prev.kp_xy.shape[0]),

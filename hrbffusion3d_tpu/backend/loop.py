@@ -161,7 +161,7 @@ class LoopCloser:
     def _verify(self, kf, kf_id: int, best: int,
                 score: float) -> Optional[LoopCandidate]:
         cand = self.backend.keyframes[best]
-        m = features.match(
+        m = features.match_jit(
             features.Keypoints(
                 xy=jnp.asarray(kf.kp_xy), score=jnp.zeros(kf.kp_xy.shape[0]),
                 angle=jnp.zeros(kf.kp_xy.shape[0]),
