@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from . import reduce_plan as rp
 
 HUBER_DELTA2 = 7.815  # Optimizer.cc: thHuberRGBD^2 (chi2 95%, 3 DoF)
 
@@ -69,25 +70,12 @@ class BAPairs(NamedTuple):
 
 
 def build_pairs(cam_idx, lm_idx) -> BAPairs:
-    """Host-side pair-list construction (NumPy; O(E log E))."""
-    import numpy as np
-
-    lm = np.asarray(lm_idx)
-    order = np.argsort(lm, kind="stable")
-    lm_sorted = lm[order]
-    # segment boundaries of equal-landmark runs
-    starts = np.flatnonzero(np.r_[True, lm_sorted[1:] != lm_sorted[:-1]])
-    ends = np.r_[starts[1:], lm.shape[0]]
-    es, fs = [], []
-    for s, t in zip(starts, ends):
-        grp = order[s:t]
-        ee, ff = np.meshgrid(grp, grp, indexing="ij")
-        es.append(ee.ravel())
-        fs.append(ff.ravel())
-    if es:
-        return BAPairs(jnp.asarray(np.concatenate(es).astype(np.int32)),
-                       jnp.asarray(np.concatenate(fs).astype(np.int32)))
-    return BAPairs(jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32))
+    """Host-side pair-list construction (vectorized NumPy, O(E log E) —
+    reduce_plan.build_pairs_np; the old per-landmark Python loop cost
+    ~0.35 s per call at P=262k)."""
+    e, f = rp.build_pairs_np(lm_idx)
+    return BAPairs(jnp.asarray(e.astype("int32")),
+                   jnp.asarray(f.astype("int32")))
 
 
 def depth_information(obs_cam: jnp.ndarray, fx: float, fy: float,
@@ -139,8 +127,14 @@ def _robust_weight(e: jnp.ndarray, info: jnp.ndarray, robust: bool):
     return w, chi2
 
 
-def _edge_blocks(prob: BAProblem, robust: bool, damping: float):
-    """Per-edge Schur ingredients shared by both solvers."""
+def _edge_blocks(prob: BAProblem, robust: bool, damping: float,
+                 plans: rp.SchurPlans | None = None):
+    """Per-edge Schur ingredients shared by both solvers.
+
+    With ``plans`` the segment reductions run as deterministic gather-sums
+    (reduce_plan.py) instead of colliding scatter-adds — fixed accumulation
+    order on every backend (the TPU scatter-order ATE penalty, NOTES_R3)
+    and vectorized on XLA CPU (where colliding scatters serialize)."""
     C = prob.cams.shape[0]
     L = prob.points.shape[0]
     e, J_cam, J_lm, p = _residuals(prob)
@@ -154,29 +148,45 @@ def _edge_blocks(prob: BAProblem, robust: bool, damping: float):
     bc_e = -jnp.einsum("eai,eab,eb->ei", J_cam, Iw, e)         # (E,6) gradient
     bl_e = -jnp.einsum("eai,eab,eb->ei", J_lm, Iw, e)          # (E,3)
 
-    Hcc = jnp.zeros((C, 6, 6)).at[prob.cam_idx].add(Hcc_e)
-    bc = jnp.zeros((C, 6)).at[prob.cam_idx].add(bc_e)
-    Hll = jnp.zeros((L, 3, 3)).at[prob.lm_idx].add(Hll_e)
-    bl = jnp.zeros((L, 3)).at[prob.lm_idx].add(bl_e)
+    if plans is not None:
+        Hcc = rp.apply_plan(plans.cam, Hcc_e, C)
+        bc = rp.apply_plan(plans.cam, bc_e, C)
+        Hll = rp.apply_plan(plans.lm, Hll_e, L)
+        bl = rp.apply_plan(plans.lm, bl_e, L)
+    else:
+        Hcc = jnp.zeros((C, 6, 6)).at[prob.cam_idx].add(Hcc_e)
+        bc = jnp.zeros((C, 6)).at[prob.cam_idx].add(bc_e)
+        Hll = jnp.zeros((L, 3, 3)).at[prob.lm_idx].add(Hll_e)
+        bl = jnp.zeros((L, 3)).at[prob.lm_idx].add(bl_e)
 
     # landmark block inverses (batched 3x3)
     Hll_inv = jnp.linalg.inv(Hll + damping * jnp.eye(3) + 1e-12 * jnp.eye(3))
     Y_e = jnp.einsum("eij,ejk->eik", W_e, Hll_inv[prob.lm_idx])  # (E,6,3)
 
     # reduced gradient: rhs_a = bc_a - sum_{e: cam=a} Y_e bl[lm_e]
-    rhs = bc - jnp.zeros((C, 6)).at[prob.cam_idx].add(
-        jnp.einsum("eik,ek->ei", Y_e, bl[prob.lm_idx]))
+    ybl = jnp.einsum("eik,ek->ei", Y_e, bl[prob.lm_idx])
+    if plans is not None:
+        rhs = bc - rp.apply_plan(plans.cam, ybl, C)
+    else:
+        rhs = bc - jnp.zeros((C, 6)).at[prob.cam_idx].add(ybl)
     total_chi2 = jnp.sum(chi2 * prob.edge_valid)
     return W_e, Y_e, Hcc, Hll_inv, bl, rhs, total_chi2
 
 
-def _solve_dense(prob, pairs: BAPairs, W_e, Y_e, Hcc, rhs, damping):
-    """Exact reduced camera system via per-landmark camera-pair scatter:
-    S[a,b] = Hcc δ_ab - Σ_{(e,f) pairs} Y_e W_f^T.  O(P·36 + C²·36)."""
+def _solve_dense(prob, pairs: BAPairs | None, W_e, Y_e, Hcc, rhs, damping,
+                 plans: rp.SchurPlans | None = None):
+    """Exact reduced camera system S[a,b] = Hcc δ_ab - Σ_{(e,f)} Y_e W_f^T.
+
+    With ``plans``: per-cell batched matmuls over the bucketed pair tables
+    (deterministic, MXU-shaped, no (P,6,6) intermediate).  Fallback: the
+    explicit pair-list scatter (O(P·36) colliding scatter-add)."""
     C = prob.cams.shape[0]
-    contrib = jnp.einsum("pik,pjk->pij", Y_e[pairs.e], W_e[pairs.f])  # (P,6,6)
-    S = jnp.zeros((C, C, 6, 6)).at[
-        prob.cam_idx[pairs.e], prob.cam_idx[pairs.f]].add(-contrib)
+    if plans is not None and plans.cell.tables:
+        S = -rp.apply_cell_plan(plans.cell, Y_e, W_e, C)
+    else:
+        contrib = jnp.einsum("pik,pjk->pij", Y_e[pairs.e], W_e[pairs.f])
+        S = jnp.zeros((C, C, 6, 6)).at[
+            prob.cam_idx[pairs.e], prob.cam_idx[pairs.f]].add(-contrib)
     S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
 
     # gauge fixing: huge diagonal on fixed cameras
@@ -192,7 +202,8 @@ def _solve_dense(prob, pairs: BAPairs, W_e, Y_e, Hcc, rhs, damping):
     return x.reshape(C, 6)
 
 
-def _solve_cg(prob, W_e, Y_e, Hcc, rhs, damping, cg_iters, cg_tol=1e-8):
+def _solve_cg(prob, W_e, Y_e, Hcc, rhs, damping, cg_iters, cg_tol=1e-8,
+              plans: rp.SchurPlans | None = None):
     """Matrix-free block-Jacobi PCG on the reduced camera system.  A matvec
     is S x = Hcc x - Y (segsum_lm W^T x[cam]) gathered back — two edge
     gathers + one landmark segment sum + one camera scatter, O(E) memory.
@@ -214,9 +225,14 @@ def _solve_cg(prob, W_e, Y_e, Hcc, rhs, damping, cg_iters, cg_tol=1e-8):
     def matvec(x):  # x (C,6)
         xm = jnp.where(free, x, 0.0)
         t = jnp.einsum("eki,ek->ei", W_e, xm[prob.cam_idx])   # W^T x, (E,3)
-        s = jnp.zeros((L, 3)).at[prob.lm_idx].add(t)
-        v = jnp.zeros((C, 6)).at[prob.cam_idx].add(
-            jnp.einsum("eik,ek->ei", Y_e, s[prob.lm_idx]))
+        if plans is not None:
+            s = rp.apply_plan(plans.lm, t, L)
+            v = rp.apply_plan(
+                plans.cam, jnp.einsum("eik,ek->ei", Y_e, s[prob.lm_idx]), C)
+        else:
+            s = jnp.zeros((L, 3)).at[prob.lm_idx].add(t)
+            v = jnp.zeros((C, 6)).at[prob.cam_idx].add(
+                jnp.einsum("eik,ek->ei", Y_e, s[prob.lm_idx]))
         out = jnp.einsum("cij,cj->ci", Hcc, xm) - v + damping * xm
         return jnp.where(free, out, 0.0)
 
@@ -249,21 +265,26 @@ def _solve_cg(prob, W_e, Y_e, Hcc, rhs, damping, cg_iters, cg_tol=1e-8):
 
 def _gn_iteration(prob: BAProblem, robust: bool, damping: float = 1e-6,
                   pairs: BAPairs | None = None, solver: str = "dense",
-                  cg_iters: int = 100):
+                  cg_iters: int = 100, plans: rp.SchurPlans | None = None):
     W_e, Y_e, Hcc, Hll_inv, bl, rhs, total_chi2 = _edge_blocks(
-        prob, robust, damping)
+        prob, robust, damping, plans=plans)
 
     if solver == "dense":
-        dx_cam = _solve_dense(prob, pairs, W_e, Y_e, Hcc, rhs, damping)
+        dx_cam = _solve_dense(prob, pairs, W_e, Y_e, Hcc, rhs, damping,
+                              plans=plans)
     else:
-        dx_cam = _solve_cg(prob, W_e, Y_e, Hcc, rhs, damping, cg_iters)
+        dx_cam = _solve_cg(prob, W_e, Y_e, Hcc, rhs, damping, cg_iters,
+                           plans=plans)
     dx_cam = jnp.where(jnp.isfinite(dx_cam), dx_cam, 0.0)
     dx_cam = jnp.where(prob.fixed[:, None], 0.0, dx_cam)
 
     # landmark back-substitution: dX_j = Hll_j^-1 (bl_j - W^T dxc)
     L = prob.points.shape[0]
-    WtDx = jnp.zeros((L, 3)).at[prob.lm_idx].add(
-        jnp.einsum("eki,ek->ei", W_e, dx_cam[prob.cam_idx]))
+    wtdx_e = jnp.einsum("eki,ek->ei", W_e, dx_cam[prob.cam_idx])
+    if plans is not None:
+        WtDx = rp.apply_plan(plans.lm, wtdx_e, L)
+    else:
+        WtDx = jnp.zeros((L, 3)).at[prob.lm_idx].add(wtdx_e)
     dx_lm = jnp.einsum("lij,lj->li", Hll_inv, bl - WtDx)
     dx_lm = jnp.where(jnp.isfinite(dx_lm), dx_lm, 0.0)
 
@@ -279,24 +300,33 @@ def _next_bucket(n: int, lo: int = 64) -> int:
     return b
 
 
-def pad_problem(prob: BAProblem, lo: int = 64) -> BAProblem:
+def pad_problem(prob: BAProblem, lo: int = 64,
+                collapse_pad_lms: bool = False) -> BAProblem:
     """Pad edge/landmark/camera counts to power-of-two buckets so repeated
     BA calls reuse compiled executables (every raw shape is a fresh jit
     specialisation — ruinous through the serialized remote TPU compiler).
     Padding edges are invalid (zero weight) and each points at its own
     padding landmark, so Schur pair lists grow by O(E_pad), not O(E_pad²);
-    padding cameras are gauge-fixed identities."""
+    padding cameras are gauge-fixed identities.
+
+    ``collapse_pad_lms``: all padding edges share ONE padding landmark,
+    keeping the landmark bucket at ~L instead of ~E.  Only safe with the
+    reduction-plan path (plans exclude padding edges entirely); the legacy
+    pair-list path would explode on the shared landmark's O(E_pad²) pairs."""
     E, L, C = prob.obs.shape[0], prob.points.shape[0], prob.cams.shape[0]
     # E+1: guarantee at least one invalid edge exists (pad_pairs aliases
     # padding pairs to it)
     Eb, Cb = _next_bucket(E + 1, lo), _next_bucket(C, 8)
-    Lb = _next_bucket(L + (Eb - E), lo)
+    Lb = _next_bucket(L + (1 if collapse_pad_lms else Eb - E), lo)
 
     def pade(x, fill=0.0):
         pad = [(0, Eb - E)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, pad, constant_values=fill)
 
-    pad_lms = L + jnp.arange(Eb - E, dtype=prob.lm_idx.dtype)
+    if collapse_pad_lms:
+        pad_lms = jnp.full((Eb - E,), L, dtype=prob.lm_idx.dtype)
+    else:
+        pad_lms = L + jnp.arange(Eb - E, dtype=prob.lm_idx.dtype)
     return BAProblem(
         cams=jnp.concatenate(
             [prob.cams, jnp.broadcast_to(jnp.eye(4, dtype=prob.cams.dtype),
@@ -328,9 +358,22 @@ def pad_pairs(pairs: BAPairs, invalid_edge: int, lo: int = 256) -> BAPairs:
 DENSE_SOLVER_MAX_CAMS = 96
 
 
+def build_plans(prob: BAProblem, solver: str = "dense",
+                n_real: int | None = None) -> rp.SchurPlans:
+    """Host-side reduction-plan build for a concrete problem (pass the
+    PADDED problem so plan shapes ride the same buckets; ``n_real`` = the
+    pre-padding edge count so zero-weight padding edges never enter a
+    gather table)."""
+    return rp.build_schur_plans(prob.cam_idx, prob.lm_idx,
+                                prob.cams.shape[0], prob.points.shape[0],
+                                with_cell=(solver == "dense"),
+                                n_real=n_real)
+
+
 def optimize(prob: BAProblem, iters_robust: int = 5, iters_final: int = 10,
              chi2_outlier: float = HUBER_DELTA2, solver: str = "auto",
-             pairs: BAPairs | None = None, cg_iters: int = 200):
+             pairs: BAPairs | None = None, cg_iters: int = 200,
+             plans: rp.SchurPlans | None = None):
     """(All matmuls/einsums trace at float32 precision — the TPU default
     decomposes f32 contractions into bf16 passes, which costs millimetres
     in the Schur Hessians: the on-chip 211-frame run measured ATE 31 mm vs
@@ -341,31 +384,36 @@ def optimize(prob: BAProblem, iters_robust: int = 5, iters_final: int = 10,
     negative depth, then ``iters_final`` plain iterations.
 
     ``solver="auto"`` picks the exact dense Schur solve for small camera
-    counts and block-Jacobi PCG above ``DENSE_SOLVER_MAX_CAMS``.  The dense
-    path needs edge-pair lists; they are built host-side here when the index
-    arrays are concrete, otherwise pass ``pairs=build_pairs(...)`` in (or use
-    ``solver="cg"``) when calling under jit."""
+    counts and block-Jacobi PCG above ``DENSE_SOLVER_MAX_CAMS``.
+
+    ``plans`` (reduce_plan.build_schur_plans / ba.build_plans): precomputed
+    deterministic gather-sum reduction plans — the default when the index
+    arrays are concrete.  Without plans the legacy colliding-scatter path
+    runs (the only option when index arrays are tracers and no plans were
+    prebuilt; its TPU accumulation order costs accuracy, NOTES_R3)."""
     if solver == "auto":
         solver = ("dense" if prob.cams.shape[0] <= DENSE_SOLVER_MAX_CAMS
                   else "cg")
-    if solver == "dense" and pairs is None:
-        if isinstance(prob.cam_idx, jax.core.Tracer):
+    if plans is None and pairs is None:
+        if not isinstance(prob.cam_idx, jax.core.Tracer):
+            plans = build_plans(prob, solver)
+        elif solver == "dense":
             raise ValueError("dense BA solver under jit needs precomputed "
-                             "pairs=build_pairs(cam_idx, lm_idx)")
-        pairs = build_pairs(prob.cam_idx, prob.lm_idx)
+                             "plans=ba.build_plans(prob) (or legacy pairs)")
 
     with jax.default_matmul_precision("float32"):
         return _optimize_body(prob, iters_robust, iters_final, chi2_outlier,
-                              solver, pairs, cg_iters)
+                              solver, pairs, cg_iters, plans)
 
 
 def _optimize_body(prob, iters_robust, iters_final, chi2_outlier, solver,
-                   pairs, cg_iters):
+                   pairs, cg_iters, plans=None):
 
     def rb(i, carry):
         prob, chi = carry
         prob, chi = _gn_iteration(prob, robust=True, pairs=pairs,
-                                  solver=solver, cg_iters=cg_iters)
+                                  solver=solver, cg_iters=cg_iters,
+                                  plans=plans)
         return prob, chi
 
     prob, chi = jax.lax.fori_loop(0, iters_robust, rb, (prob, jnp.float32(0)))
@@ -379,7 +427,8 @@ def _optimize_body(prob, iters_robust, iters_final, chi2_outlier, solver,
     def fin(i, carry):
         prob, chi = carry
         prob, chi = _gn_iteration(prob, robust=False, pairs=pairs,
-                                  solver=solver, cg_iters=cg_iters)
+                                  solver=solver, cg_iters=cg_iters,
+                                  plans=plans)
         return prob, chi
 
     prob, chi = jax.lax.fori_loop(0, iters_final, fin, (prob, chi))

@@ -20,10 +20,12 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache()
-def vocabulary(n_words: int = 512, seed: int = 11) -> jnp.ndarray:
-    """(W, 8) uint32 random binary centroid descriptors."""
+def vocabulary(n_words: int = 512, seed: int = 11) -> np.ndarray:
+    """(W, 8) uint32 random binary centroid descriptors.  Host NumPy only:
+    a device array cached across jit traces would leak tracers (see
+    features._brief_pattern)."""
     rng = np.random.default_rng(seed)
-    return jnp.asarray(rng.integers(0, 2 ** 32, (n_words, 8), dtype=np.uint32))
+    return rng.integers(0, 2 ** 32, (n_words, 8), dtype=np.uint32)
 
 
 def bow_vector(desc: jnp.ndarray, valid: jnp.ndarray,

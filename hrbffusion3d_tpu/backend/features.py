@@ -118,14 +118,18 @@ def _brief_pattern(n_bits: int = 256, patch: int = 31, seed: int = 7,
     retrained on the synthetic corpus.  Measured on held-out adversarial
     views (tests/test_features.py A/B): higher match inlier rate than the
     gaussian pattern.  ``learned=False``: seeded gaussian BRIEF."""
+    # NB: returns host NumPy, never a jnp array — the lru_cache is shared
+    # across jit traces, and a device value created inside one trace would
+    # leak a tracer into the next (UnexpectedTracerError under jax >= the
+    # stricter constant-handling)
     if learned:
         from .brief_pattern import LEARNED_PATTERN
 
-        return jnp.asarray(LEARNED_PATTERN.astype(np.float32))
+        return np.asarray(LEARNED_PATTERN, np.float32)
     rng = np.random.default_rng(seed)
     sigma = patch / 5.0
     pts = np.clip(rng.normal(0, sigma, (n_bits, 4)), -(patch // 2), patch // 2)
-    return jnp.asarray(pts.astype(np.float32))  # (256,4) = (x1,y1,x2,y2)
+    return pts.astype(np.float32)  # (256,4) = (x1,y1,x2,y2)
 
 
 def _descriptors(img: jnp.ndarray, ys, xs, angle, learned: bool = True):

@@ -516,12 +516,15 @@ class SparseBackend:
         # the compiled optimizer instead of respecializing every call
         solver = "dense" if n_cams <= ba.DENSE_SOLVER_MAX_CAMS else "cg"
         n_edges = obs.shape[0]
-        prob = ba.pad_problem(prob)
-        pairs = None
-        if solver == "dense" and self.mesh is None:
-            pairs = ba.pad_pairs(
-                ba.build_pairs(prob.cam_idx, prob.lm_idx),
-                invalid_edge=n_edges)
+        plans = None
+        if self.mesh is None:
+            # deterministic gather-sum reduction plans (reduce_plan.py):
+            # fixed accumulation order on every backend and no colliding
+            # scatters (the 3.7 s/keyframe host-CPU cost, VERDICT r3 next-2)
+            prob = ba.pad_problem(prob, collapse_pad_lms=True)
+            plans = ba.build_plans(prob, solver, n_real=n_edges)
+        else:
+            prob = ba.pad_problem(prob)
         if self.mesh is not None:
             from ..parallel import dist_ba
 
@@ -545,7 +548,7 @@ class SparseBackend:
                    if self.ba_device is not None
                    else contextlib.nullcontext())
             with ctx:
-                out, _ = ba.optimize_jit(prob, solver=solver, pairs=pairs)
+                out, _ = ba.optimize_jit(prob, solver=solver, plans=plans)
                 new_tcw = np.asarray(out.cams)[:n_cams]
                 new_points = np.asarray(out.points)[:n_lms]
 

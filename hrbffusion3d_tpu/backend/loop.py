@@ -398,12 +398,9 @@ class LoopCloser:
         )
         solver = "dense" if K <= ba.DENSE_SOLVER_MAX_CAMS else "cg"
         n_edges = obs.shape[0]
-        prob = ba.pad_problem(prob)
-        pairs = None
-        if solver == "dense":
-            pairs = ba.pad_pairs(ba.build_pairs(prob.cam_idx, prob.lm_idx),
-                                 invalid_edge=n_edges)
-        out, _ = ba.optimize_jit(prob, solver=solver, pairs=pairs)
+        prob = ba.pad_problem(prob, collapse_pad_lms=True)
+        plans = ba.build_plans(prob, solver, n_real=n_edges)
+        out, _ = ba.optimize_jit(prob, solver=solver, plans=plans)
         new_tcw = np.asarray(out.cams)[:K]
         new_points = np.asarray(out.points)[:len(lm_sel)]
 

@@ -285,6 +285,12 @@ class SLAMConfig:
     # pays a full-buffer pass; on TPU the inactive rows physically leave).
     # 0 = single-map mode (everything in map_capacity, r1/r2 behavior).
     active_capacity: int = 0
+    # initial archive allocation for the active/archive split.  Pre-size
+    # for the expected final map (like the reference's up-front 21.1M
+    # allocation, GlobalModel.cpp:21-27) so long runs never grow mid-run;
+    # growth still works (bucketed, checked BEFORE each exchange so a
+    # worst-case exchange cannot overflow).  0 = start at active_capacity.
+    archive_capacity: int = 0
 
 
 DEFAULT_CONFIG = SLAMConfig()

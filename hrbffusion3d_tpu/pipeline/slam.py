@@ -284,6 +284,36 @@ def step_many_traj(state: SLAMState, frames: FrameInput,
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def step_chunk(state: SLAMState, frames: FrameInput,
+               intr: CameraIntrinsics, cfg: SLAMConfig):
+    """step_many_traj plus ONE packed host-sync vector.
+
+    Through the remote-TPU tunnel every device->host fetch costs a full
+    round trip (~a dispatch, NOTES_R1); FullSLAM.process_batch previously
+    paid several per chunk (poses, map count, time, submap).  Everything
+    the host loop needs is concatenated into a single flat array here:
+      packed = [poses.ravel() (k*16), map.count, last_icp_error,
+                last_icp_count, dense_frac]
+    Returns (final state, packed (k*16+4,))."""
+    from ..core import lie as _lie
+
+    pres = jax.vmap(lambda f: _preprocess(f, intr, cfg))(frames)
+
+    def body(s, fp):
+        f, pre_done = fp
+        s2 = step_impl(s, f, intr, cfg, pre_done=pre_done)
+        return s2, _lie.rt_to_mat(s2.R, s2.t)
+
+    state2, poses = jax.lax.scan(body, state, (frames, pres))
+    aux = jnp.stack([state2.map.count.astype(jnp.float32),
+                     state2.last_icp_error,
+                     state2.last_icp_count,
+                     state2.dense_frac])
+    packed = jnp.concatenate([poses.reshape(-1), aux])
+    return state2, packed
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
 def step_many_replay(state: SLAMState, frames: FrameInput,
                      poses: jnp.ndarray, intr: CameraIntrinsics,
                      cfg: SLAMConfig):
@@ -301,7 +331,8 @@ def step_many_replay(state: SLAMState, frames: FrameInput,
 
 def ensure_capacity(state: SLAMState, cfg: SLAMConfig,
                     threshold: float = 0.75,
-                    frames_ahead: int = 1):
+                    frames_ahead: int = 1,
+                    count: int | None = None):
     """Host-side capacity bucketing (between jitted steps): when the live
     surfel count crosses ``threshold`` of capacity, double the map's
     backing array (power-of-2 buckets — each bucket gets its own cached
@@ -309,10 +340,14 @@ def ensure_capacity(state: SLAMState, cfg: SLAMConfig,
     ``map_capacity``.  The reference instead allocates 21.1M surfels up
     front (GlobalModel.cpp:21-22) and drops data when full; here every map
     op costs proportional to static capacity, so buckets keep per-frame
-    cost proportional to the live map."""
+    cost proportional to the live map.
+
+    ``count``: pass the already-fetched live count (step_chunk's packed
+    sync) to avoid an extra device->host round trip per call."""
     import dataclasses
 
-    count = int(state.map.count)
+    if count is None:
+        count = int(state.map.count)
     cap = cfg.map_capacity
     if count <= threshold * cap:
         return state, cfg
