@@ -172,8 +172,12 @@ def _grid_topk(sc: jnp.ndarray, n_total: int, cells: int):
     ORBextractor::DistributeOctTree, ORBextractor.cc): split the score map
     into a cells x cells grid and take the top n_total/cells^2 responses
     per cell, so one textured corner of the image cannot monopolise the
-    budget.  Returns (val, flat_idx) of length <= n_total (cell-padded)."""
+    budget.  Returns (val, flat_idx) of length <= n_total (cell-padded;
+    cells^2 > n_total would otherwise overshoot the budget — ADVICE r3)."""
     h, w = sc.shape
+    if cells * cells > n_total:
+        raise ValueError(f"grid_cells^2 ({cells * cells}) exceeds the "
+                         f"keypoint budget ({n_total})")
     m = max(1, n_total // (cells * cells))
     gh, gw = -(-h // cells), -(-w // cells)      # ceil
     pad = jnp.zeros((gh * cells, gw * cells), sc.dtype)

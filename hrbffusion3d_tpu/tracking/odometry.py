@@ -465,9 +465,13 @@ def track(
         # displacement patch association and/or saliency top-k pixel
         # selection.  Both attack the per-iteration correspondence row
         # gather — the profile's top item (gather-issue-rate bound).
+        # tracking_subsample > 1 routes iterations through the subsampled
+        # bundle, which neither fast driver threads through — excluding it
+        # here keeps the combination from silently running every finest-
+        # level iteration at full resolution (ADVICE r3)
         drive_patch = (lvl == 0 and use_joint and cfg.tracking_rgb_nearest
                        and cfg.tracking_patch_assoc and reassoc == 1
-                       and not use_sparse)
+                       and not use_sparse and cfg.tracking_subsample == 1)
         drive_topk = (lvl == 0 and use_joint and cfg.tracking_topk > 0
                       and reassoc == 1 and not use_sparse
                       and cfg.tracking_subsample == 1)

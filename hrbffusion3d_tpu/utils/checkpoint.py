@@ -35,11 +35,30 @@ def _arrays_to_state(arrays: dict, template: SLAMState) -> SLAMState:
     return jax.tree.unflatten(treedef, leaves)
 
 
+def _pattern_fingerprint() -> int:
+    """Identity of the active BRIEF test pattern.  Descriptors from
+    different patterns are incompatible (Hamming distances and BoW scores
+    between them are meaningless), so a checkpoint written under one
+    pattern must not silently resume under another (ADVICE r3)."""
+    from ..backend.features import _brief_pattern
+
+    pat = np.asarray(_brief_pattern())
+    return int(zlib.crc32(pat.tobytes()))
+
+
 def save(path: str, system: FullSLAM):
     buf = io.BytesIO()
     state_arrays = _state_to_arrays(system.state)
+    # active/archive split (cfg.active_capacity > 0): the archive holds
+    # every inactive-submap surfel — without it a resumed run loses the
+    # whole out-of-window map (ADVICE r3, medium)
+    if system.archive is not None:
+        state_arrays["archive_data"] = np.asarray(system.archive.data)
+        state_arrays["archive_count"] = np.asarray(system.archive.count)
     np.savez_compressed(buf, **state_arrays)
     backend_blob = pickle.dumps({
+        "archive_dropped": system.archive_dropped,
+        "brief_pattern_crc": _pattern_fingerprint(),
         "keyframes": [
             dict(kf_id=k.kf_id, frame_time=k.frame_time, pose=k.pose,
                  kp_xy=k.kp_xy, kp_cam=k.kp_cam, desc=k.desc,
@@ -90,9 +109,33 @@ def load(path: str, system: FullSLAM) -> FullSLAM:
     if system.state is None:
         raise ValueError("bootstrap the system once before load() so the "
                          "SLAMState template exists")
+    archive_data = arrays.pop("archive_data", None)
+    archive_count = arrays.pop("archive_count", None)
     system.state = _arrays_to_state(arrays, system.state)
+    # host mirrors of device counters (process_batch trusts these)
+    system._time_host = int(system.state.time)
+    system._submap_host = int(system.state.submap_idx)
+    if archive_data is not None:
+        from ..map import surfel_map as sm
+
+        system.archive = sm.SurfelMap(data=jnp.asarray(archive_data),
+                                      count=jnp.asarray(archive_count))
+        system._archive_count = int(archive_count)
+    else:
+        system.archive = None
+        system._archive_count = 0
 
     data = pickle.loads(backend_blob)
+    system.archive_dropped = data.get("archive_dropped", 0)
+    saved_crc = data.get("brief_pattern_crc")
+    if saved_crc is not None and saved_crc != _pattern_fingerprint():
+        import warnings
+
+        warnings.warn(
+            "checkpoint was written with a different BRIEF pattern — "
+            "stored descriptors are incompatible with newly-extracted "
+            "ones (Hamming/BoW matching across the resume point will be "
+            "meaningless)", RuntimeWarning)
     be = system.backend
     be.keyframes = [Keyframe(**k) for k in data["keyframes"]]
     be.landmarks = data["landmarks"]

@@ -113,6 +113,34 @@ def test_fullslam_split_equals_single_when_all_active():
     assert int(a.state.map.count) == int(b.state.map.count)
 
 
+def test_checkpoint_roundtrip_preserves_archive(tmp_path):
+    """save/load must carry the archive (ADVICE r3 medium: a resumed run
+    otherwise silently loses every archived surfel)."""
+    from hrbffusion3d_tpu.utils import checkpoint
+
+    cfg = dataclasses.replace(CFG, active_capacity=1 << 15)
+    sys = _run_fullslam(cfg, n=9)
+    kf = int(sys.state.submap_idx)
+    mask = np.zeros(cfg.max_submaps, bool)
+    mask[kf] = True
+    sys._refresh_active(mask)          # force some surfels into the archive
+    assert int(sys.archive.count) > 0
+    path = str(tmp_path / "ck.bin")
+    checkpoint.save(path, sys)
+
+    sys2 = _run_fullslam(cfg, n=2)     # fresh system (bootstrapped)
+    checkpoint.load(path, sys2)
+    assert sys2.archive is not None
+    assert int(sys2.archive.count) == int(sys.archive.count)
+    np.testing.assert_array_equal(np.asarray(sys2.archive.data),
+                                  np.asarray(sys.archive.data))
+    # host mirrors restored from device state
+    assert sys2._time_host == int(sys.state.time)
+    assert sys2._archive_count == int(sys.archive.count)
+    # full_map merges active + archive identically
+    assert (int(sys2.full_map().count) == int(sys.full_map().count))
+
+
 def test_fullslam_split_archives_on_deactivation():
     """Force an active-window change and check surfels flow to the archive
     and the dense pipeline keeps stepping."""

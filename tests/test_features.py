@@ -82,3 +82,23 @@ def test_descriptor_rotation_stability():
     k1 = features.detect_and_describe(img_rot, threshold=8.0)
     m = features.match(k0, k1)
     assert int(np.asarray(m.valid).sum()) > 20
+
+
+def test_grid_topk_distributes_budget():
+    """_grid_topk (static-shape DistributeOctTree): per-cell budgets, never
+    more than n_total candidates, and a rejection of cells^2 > n_total
+    (ADVICE r3)."""
+    import pytest
+
+    rng = np.random.default_rng(3)
+    sc = jnp.asarray(rng.uniform(0.1, 1.0, (64, 64)).astype(np.float32))
+    # one dominant corner must not monopolise the budget
+    sc = sc.at[:8, :8].add(100.0)
+    val, idx = features._grid_topk(sc, n_total=64, cells=8)
+    assert val.shape[0] <= 64
+    y, x = np.asarray(idx) // 64, np.asarray(idx) % 64
+    # selected pixels cover every grid cell (1 per cell at this budget)
+    cells = set(zip(y // 8, x // 8))
+    assert len(cells) == 64
+    with pytest.raises(ValueError):
+        features._grid_topk(sc, n_total=16, cells=8)
