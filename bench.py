@@ -1,18 +1,32 @@
 """Benchmark: full SLAM step throughput (track + fuse + clean + HRBF predict)
-at the reference's native 640x480 workload, on one TPU chip.
+at the reference's native 640x480 workload, on one TPU chip — plus the
+PRODUCT-level number: the complete system (keyframes + local BA + loop
+closing, async pipeline) over a Kinect-noisy loopy sequence, reported as
+``full_system_fps`` / ``full_system_ate_mm`` in the same JSON line
+(VERDICT r3 next-7: the driver-visible bench must capture both the
+dense-step and the full-system metric).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": "fps",
-"vs_baseline": N}.  Baseline = the reference's 30 fps real-time design
-target on a desktop GPU (GUI/src/HRBF_fusion.cpp:237-240; the repo publishes
-no other numbers, BASELINE.md).
+"vs_baseline": N, "full_system_fps": N, "full_system_ate_mm": N}.
+Baseline = the reference's 30 fps real-time design target on a desktop GPU
+(GUI/src/HRBF_fusion.cpp:237-240; the repo publishes no other numbers,
+BASELINE.md).  Set BENCH_FULL=0 to skip the full-system section.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# the sparse backend (BA, graph logic) needs the host CPU backend alongside
+# the TPU: plain JAX_PLATFORMS=axon (the sitecustomize default) would run
+# every backend op eagerly through the remote tunnel at ~27 ms/op
+if os.environ.get("JAX_PLATFORMS", "") == "axon":
+    jax.config.update("jax_platforms", "axon,cpu")
+
 import jax.numpy as jnp
 
 from hrbffusion3d_tpu.utils import tpu_cache
@@ -70,12 +84,67 @@ def main():
     dt = time.perf_counter() - t0
     fps = (n_calls * n_per_call) / dt
 
-    print(json.dumps({
+    out = {
         "metric": "slam_step_fps_640x480",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    }
+    if int(os.environ.get("BENCH_FULL", "1")):
+        try:
+            out.update(full_system())
+        except Exception as e:  # noqa: BLE001 — the dense metric must
+            out["full_system_error"] = repr(e)[:200]  # survive regardless
+    print(json.dumps(out))
+
+
+def full_system():
+    """Product-level metric: FullSLAM (keyframes + local BA + loop closing,
+    async pipeline — SURVEY §2.14c) on a 101-frame Kinect-noisy loopy
+    sequence of the cluttered room at 640x480, map capacity 1M (the
+    FULLSLAM_r0x protocol at reduced length; scripts/tpu_fullslam_bench.py
+    is the full 211-frame version)."""
+    from hrbffusion3d_tpu.eval import ate, synth
+    from hrbffusion3d_tpu.pipeline.full_slam import FullSLAM
+
+    intr = TUM1
+    n, kf_period = 101, 10
+    cfg = SLAMConfig(map_capacity=1048576, predict_conf_threshold=0.2,
+                     use_pallas_raycast=True, clean_compact_period=4,
+                     raycast_block_height=16, raycast_bisection_iters=6,
+                     raycast_false_position=3, clean_crowd_period=4,
+                     keyframe_period=kf_period, use_global_ba=True)
+    scene = synth.complex_room()
+    gt = synth.loopy_trajectory(n, n_loops=1, radius=0.55)
+    sys_ = FullSLAM(intr, cfg, init_pose=gt[0], async_ba=True)
+
+    def render(i):
+        # device-resident frames (sensor-ingest tunnel artifact excluded —
+        # see scripts/tpu_fullslam_bench.py render() for the rationale)
+        return synth.render_frame_kinect_jit(
+            scene, jnp.asarray(gt[i]), intr, jax.random.PRNGKey(1000 + i),
+            1.0)
+
+    d0, c0 = render(0)
+    sys_.process(slam.FrameInput(depth=d0, rgb=c0), timestamp=0.0)
+    chunk_times = []
+    i = 1
+    while i < n:
+        k = min(kf_period, n - i)
+        ds, cs = zip(*(render(i + j) for j in range(k)))
+        batch = slam.FrameInput(depth=jnp.stack(ds), rgb=jnp.stack(cs))
+        _ = np.asarray(batch.depth[0, 0, :2])
+        t0 = time.perf_counter()
+        sys_.process_batch(batch, timestamps=[float(i + j) for j in range(k)])
+        chunk_times.append((time.perf_counter() - t0) / k)
+        i += k
+    sys_.join_backend()
+    steady = chunk_times[3:] if len(chunk_times) > 6 else chunk_times
+    fps = 1.0 / float(np.median(steady))
+    err = ate.ate_rmse(sys_.poses(), gt[: len(sys_.trajectory)], align=False)
+    return {"full_system_fps": round(fps, 2),
+            "full_system_ate_mm": round(err * 1000, 2),
+            "full_system_vs_baseline": round(fps / BASELINE_FPS, 3)}
 
 
 if __name__ == "__main__":

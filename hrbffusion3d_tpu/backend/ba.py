@@ -301,7 +301,9 @@ def _next_bucket(n: int, lo: int = 64) -> int:
 
 
 def pad_problem(prob: BAProblem, lo: int = 64,
-                collapse_pad_lms: bool = False) -> BAProblem:
+                collapse_pad_lms: bool = False,
+                min_edges: int = 0, min_lms: int = 0,
+                min_cams: int = 0) -> BAProblem:
     """Pad edge/landmark/camera counts to power-of-two buckets so repeated
     BA calls reuse compiled executables (every raw shape is a fresh jit
     specialisation — ruinous through the serialized remote TPU compiler).
@@ -315,9 +317,14 @@ def pad_problem(prob: BAProblem, lo: int = 64,
     pair-list path would explode on the shared landmark's O(E_pad²) pairs."""
     E, L, C = prob.obs.shape[0], prob.points.shape[0], prob.cams.shape[0]
     # E+1: guarantee at least one invalid edge exists (pad_pairs aliases
-    # padding pairs to it)
-    Eb, Cb = _next_bucket(E + 1, lo), _next_bucket(C, 8)
-    Lb = _next_bucket(L + (1 if collapse_pad_lms else Eb - E), lo)
+    # padding pairs to it).  ``min_*`` pre-size the buckets: a growing run
+    # otherwise recompiles the optimizer at every new power-of-2 bucket —
+    # each a multi-minute stall on a busy 2-core host that starves the
+    # async worker (r4 async run: only 11/21 keyframes inserted)
+    Eb = _next_bucket(max(E + 1, min_edges), lo)
+    Cb = _next_bucket(max(C, min_cams), 8)
+    Lb = _next_bucket(max(L + (1 if collapse_pad_lms else Eb - E), min_lms),
+                      lo)
 
     def pade(x, fill=0.0):
         pad = [(0, Eb - E)] + [(0, 0)] * (x.ndim - 1)
@@ -359,15 +366,36 @@ DENSE_SOLVER_MAX_CAMS = 96
 
 
 def build_plans(prob: BAProblem, solver: str = "dense",
-                n_real: int | None = None) -> rp.SchurPlans:
+                n_real: int | None = None,
+                shape_cache: dict | None = None) -> rp.SchurPlans:
     """Host-side reduction-plan build for a concrete problem (pass the
     PADDED problem so plan shapes ride the same buckets; ``n_real`` = the
     pre-padding edge count so zero-weight padding edges never enter a
-    gather table)."""
-    return rp.build_schur_plans(prob.cam_idx, prob.lm_idx,
-                                prob.cams.shape[0], prob.points.shape[0],
-                                with_cell=(solver == "dense"),
-                                n_real=n_real)
+    gather table).
+
+    ``shape_cache``: caller-owned dict carried across calls — pads every
+    plan table to session-sticky shapes (rp.pad_plan_sticky) so the jitted
+    optimizer is NOT respecialized per call as the degree distribution
+    drifts (without it a growing keyframe run recompiled local BA every
+    single keyframe, ~3.5-4.4 s each on 2 host cores)."""
+    C, L, E = prob.cams.shape[0], prob.points.shape[0], prob.obs.shape[0]
+    plans = rp.build_schur_plans(prob.cam_idx, prob.lm_idx, C, L,
+                                 with_cell=(solver == "dense"),
+                                 n_real=n_real)
+    if shape_cache is not None:
+        plans = rp.SchurPlans(
+            cam=rp.pad_plan_sticky(plans.cam,
+                                   shape_cache.setdefault("cam", {}), C, E,
+                                   full_width=True),
+            lm=rp.pad_plan_sticky(plans.lm,
+                                  shape_cache.setdefault("lm", {}), L, E,
+                                  full_width=True),
+            cell=(rp.pad_cell_plan_sticky(
+                plans.cell, shape_cache.setdefault("cell", {}), C * C,
+                E) if plans.cell.tables or shape_cache.get("cell")
+                else plans.cell),
+        )
+    return plans
 
 
 def optimize(prob: BAProblem, iters_robust: int = 5, iters_final: int = 10,

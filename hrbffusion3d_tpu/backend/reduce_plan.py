@@ -185,6 +185,82 @@ def build_pairs_np(lm_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return e, f
 
 
+def pad_plan_sticky(plan: ReducePlan, cache: dict, n_targets: int,
+                    n_sources: int, full_width: bool = False) -> ReducePlan:
+    """Pad a plan's tables to session-sticky shapes (VERDICT r3 next-2,
+    production form): the raw bucket shapes (rung set, per-rung Tb) are a
+    function of the live degree distribution, so a growing keyframe run
+    changed them EVERY call — and since plan arrays are jit inputs, their
+    shapes key the compiled optimizer: local BA recompiled per keyframe
+    (~3.5-4.4 s/kf measured on the 2-core host; the warm solve itself is
+    0.17 s).  This pads every table up to the session maximum seen so far
+    (``cache``: dict D -> Tb, owned by the caller), and emits empty tables
+    for previously-seen rungs — shapes grow monotonically and converge, so
+    compiles happen only on growth (a handful per run).
+
+    Padding rows gather the appended zero source row (idx = n_sources) and
+    scatter out of bounds (row = n_targets, dropped by mode='drop').
+
+    ``full_width``: pad every rung's Tb straight to pow2(n_targets) — the
+    strongest stickiness (shape depends only on the rung set and the
+    target bucket).  Use where n_targets is small (camera/landmark plans:
+    the padded rows gather the zero source row, ~free); the cell plan's
+    n_targets = C^2 makes this too wasteful there."""
+    rungs = {int(idx.shape[1]): (idx, rows) for idx, rows in plan.tables}
+    tb_full = _pow2(n_targets)
+    for D, (idx, rows) in rungs.items():
+        cache[D] = (tb_full if full_width
+                    else max(cache.get(D, 0), idx.shape[0]))
+    tables = []
+    for D in sorted(cache):
+        Tb = cache[D]
+        if D in rungs:
+            idx, rows = rungs[D]
+            pad = Tb - idx.shape[0]
+            if pad > 0:
+                idx = jnp.concatenate(
+                    [idx, jnp.full((pad, D), n_sources, jnp.int32)])
+                rows = jnp.concatenate(
+                    [rows, jnp.full((pad,), n_targets, jnp.int32)])
+        else:
+            idx = jnp.full((Tb, D), n_sources, jnp.int32)
+            rows = jnp.full((Tb,), n_targets, jnp.int32)
+        tables.append((idx, rows))
+    return ReducePlan(tables=tuple(tables))
+
+
+def pad_cell_plan_sticky(cell: CellPlan, cache: dict, n_cells: int,
+                         n_edges: int, min_tb: int = 64) -> CellPlan:
+    """Sticky-shape padding for the camera-pair cell plan (see
+    pad_plan_sticky); padding pairs alias the appended zero edge row and
+    scatter out of bounds.  ``min_tb`` floors every rung's Tb: the cell
+    counts per rung start tiny (1, 2, 4 ...) and their pow2 buckets flipped
+    on nearly every keyframe — the floor absorbs that churn at the price of
+    <=min_tb*D zero-row pair products per rung (cheap batched matmuls)."""
+    rungs = {int(pe.shape[1]): (pe, pf, rows) for pe, pf, rows in cell.tables}
+    for D, (pe, _, _) in rungs.items():
+        cache[D] = max(cache.get(D, 0), pe.shape[0], min_tb)
+    tables = []
+    for D in sorted(cache):
+        Tb = cache[D]
+        if D in rungs:
+            pe, pf, rows = rungs[D]
+            pad = Tb - pe.shape[0]
+            if pad > 0:
+                pe = jnp.concatenate(
+                    [pe, jnp.full((pad, D), n_edges, jnp.int32)])
+                pf = jnp.concatenate(
+                    [pf, jnp.full((pad, D), n_edges, jnp.int32)])
+                rows = jnp.concatenate(
+                    [rows, jnp.full((pad,), n_cells, jnp.int32)])
+        else:
+            pe = jnp.full((Tb, D), n_edges, jnp.int32)
+            pf = jnp.full((Tb, D), n_edges, jnp.int32)
+            rows = jnp.full((Tb,), n_cells, jnp.int32)
+        tables.append((pe, pf, rows))
+    return CellPlan(tables=tuple(tables))
+
+
 class SchurPlans(NamedTuple):
     """Everything ba.optimize needs for scatter-free GN: per-camera and
     per-landmark reduction plans, plus the camera-pair cell plan (dense

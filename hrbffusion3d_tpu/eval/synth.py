@@ -235,18 +235,21 @@ def kinect_depth(depth: jnp.ndarray, normal_world: jnp.ndarray,
                  dirs_world: jnp.ndarray, key: jax.Array,
                  quantize_mm: bool = True,
                  dropout_cos: float = 0.25,
-                 edge_dropout: float = 0.5) -> jnp.ndarray:
+                 edge_dropout: float = 0.5,
+                 noise_scale: float = 1.0) -> jnp.ndarray:
     """Degrade exact z-depth with the Kinect model:
     per-pixel Gaussian noise sigma_z(z), u16 millimetre quantisation, and
     grazing-angle dropout (returns vanish where the IR return weakens:
     |cos(incidence)| below ``dropout_cos`` drops deterministically, up to
     2x that threshold drops with probability ramping down from
-    ``edge_dropout``)."""
+    ``edge_dropout``).  ``noise_scale`` multiplies sigma_z — >1 makes the
+    sequence drift-heavy (the regime where the sparse backend must earn
+    its keep; the reference's BA exists for exactly these sequences)."""
     k1, k2 = jax.random.split(key)
     z = depth
     valid = z > 0
     sigma = KINECT_C1 * z * z + KINECT_C2 * z + KINECT_C3
-    sigma = jnp.maximum(sigma, 1e-5)
+    sigma = jnp.maximum(sigma, 1e-5) * noise_scale
     z = z + sigma * jax.random.normal(k1, z.shape, z.dtype)
     if quantize_mm:
         z = jnp.round(z * 1000.0) / 1000.0
@@ -261,7 +264,8 @@ def kinect_depth(depth: jnp.ndarray, normal_world: jnp.ndarray,
 
 
 def render_frame_kinect(scene: Scene, pose_wc: jnp.ndarray,
-                        intr: CameraIntrinsics, key: jax.Array):
+                        intr: CameraIntrinsics, key: jax.Array,
+                        noise_scale: float = 1.0):
     """Render (noisy_depth, rgb) through the Kinect sensor model."""
     depth, rgb, normal = render_frame_full(scene, pose_wc, intr)
     h, w = intr.height, intr.width
@@ -273,7 +277,8 @@ def render_frame_kinect(scene: Scene, pose_wc: jnp.ndarray,
         jnp.ones((h, w), jnp.float32),
     ], axis=-1)
     dirs_world = jnp.einsum("ij,hwj->hwi", pose_wc[:3, :3], dir_c)
-    return kinect_depth(depth, normal, dirs_world, key), rgb
+    return kinect_depth(depth, normal, dirs_world, key,
+                        noise_scale=noise_scale), rgb
 
 
 render_frame_kinect_jit = jax.jit(render_frame_kinect, static_argnums=(2,))

@@ -764,8 +764,11 @@ def exchange_active(act: SurfelMap, arch: SurfelMap,
     instead of per-frame, so kills of inactive surfels land at most one
     keyframe period later than the reference's.
 
-    Returns (active', archive', n_dropped) — n_dropped counts rows lost to
-    capacity overflow (0 in healthy runs)."""
+    Returns (active', archive', stats) with stats = int32 [n_active,
+    n_archive, n_dropped] — packed so the host syncs ONE array per
+    exchange (each device->host fetch through the remote tunnel costs a
+    full round trip); n_dropped counts rows lost to capacity overflow
+    (0 in healthy runs)."""
     Ca = act.data.shape[0]
     Cr = arch.data.shape[0]
     nch = act.data.shape[1]
@@ -827,8 +830,9 @@ def exchange_active(act: SurfelMap, arch: SurfelMap,
         (jnp.arange(Cr, dtype=jnp.int32) < n_arch).astype(jnp.float32))
 
     dropped = (n_enter_all - n_enter) + (n_keep + n_leave - n_arch)
+    stats = jnp.stack([n_act, n_arch, dropped]).astype(jnp.int32)
     return (SurfelMap(data=act_data, count=n_act),
-            SurfelMap(data=arch_data, count=n_arch), dropped)
+            SurfelMap(data=arch_data, count=n_arch), stats)
 
 
 def apply_submap_deltas(m: SurfelMap, deltas: jnp.ndarray) -> SurfelMap:

@@ -68,6 +68,12 @@ class FullSLAM:
             # one jitted dispatch per keyframe — goes to the dense device
             # (~1.1 s/keyframe on 2 host cores vs ~30 ms on the chip)
             bk["detect_device"] = jax.devices()[0]
+        # pre-size the BA padding buckets for a production-scale run: one
+        # optimizer compile instead of a recompile at every power-of-2
+        # E/L growth (each a multi-minute stall on a contended host that
+        # also starves the async worker's keyframe cadence)
+        nf = bk.get("n_features", 1024)
+        bk.setdefault("ba_pad_min", (16 * nf, 8 * nf, 32))
         self.backend = SparseBackend(intr, cfg, **bk)
         self.loop_closer = None
         if cfg.use_global_ba:
@@ -83,6 +89,7 @@ class FullSLAM:
         self.archive: sm.SurfelMap | None = None
         self.archive_dropped = 0
         self._archive_count = 0       # host mirror of archive.count
+        self._active_count = None     # host mirror of map.count post-exchange
         # host mirrors of state.time / state.submap_idx: both are exactly
         # predictable from the host loop (time increments once per step;
         # submap changes only at keyframe inserts), so the per-chunk
@@ -207,12 +214,18 @@ class FullSLAM:
                 while need > 0.75 * new_cap:
                     new_cap *= 2
                 self.archive = sm.grow(self.archive, new_cap)
-            act2, arch2, dropped = sm.exchange_active(
+            act2, arch2, stats = sm.exchange_active(
                 self.state.map, self.archive, mask,
                 jnp.asarray(self._time_host, jnp.int32), self.cfg)
             self.state = self.state._replace(map=act2, active_submaps=mask)
             self.archive = arch2
-            d = int(dropped)
+            # ONE packed host sync per exchange (n_active, n_archive,
+            # dropped) — separate count/dropped fetches each cost a full
+            # tunnel round trip
+            st = np.asarray(stats)
+            self._active_count = int(st[0])
+            self._archive_count = int(st[1])
+            d = int(st[2])
             if d > 0:
                 import warnings
 
@@ -221,7 +234,6 @@ class FullSLAM:
                     f"overflow) — pre-size cfg.archive_capacity",
                     RuntimeWarning)
             self.archive_dropped += d
-            self._archive_count = int(arch2.count)
         else:
             self.state = self.state._replace(
                 active_submaps=mask,
@@ -389,7 +401,11 @@ class FullSLAM:
                 k = min(n - i, max(1, until_kf))
             else:
                 k = min(n - i, cfg.keyframe_period)
-            chunk = jax.tree.map(lambda x: x[i:i + k], frames)
+            # exact-chunk fast path: callers that feed keyframe-period-
+            # sized batches (the bench protocol) skip the slice dispatch
+            # (on device-resident frames x[i:i+k] is a real device op)
+            chunk = (frames if (i == 0 and k == n)
+                     else jax.tree.map(lambda x: x[i:i + k], frames))
             t0 = _t.perf_counter()
             # ONE dispatch + ONE host fetch per chunk: poses and the
             # capacity/diagnostic scalars come back in a single packed
@@ -460,10 +476,10 @@ class FullSLAM:
                         self.loop_closures.append(
                             (cand.match_kf, cand.query_kf))
                     _tick("corrections", t0)
-                    # the exchange changed the live count; the fetched one
-                    # is stale — re-read at this (keyframe) boundary only
+                    # the exchange changed the live count; its packed stats
+                    # already carried the fresh one (no extra fetch)
                     if cfg.active_capacity > 0:
-                        live_count = None
+                        live_count = self._active_count
             self.state, self.cfg = slam.ensure_capacity(
                 self.state, self.cfg, count=live_count)
             cfg = self.cfg

@@ -262,6 +262,25 @@ def step_many(state: SLAMState, frames: FrameInput, intr: CameraIntrinsics,
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def step_many_unrolled(state: SLAMState, frames: FrameInput,
+                       intr: CameraIntrinsics, cfg: SLAMConfig):
+    """step_many with the scan fully unrolled (lax.scan(unroll=True)):
+    straight-line HLO lets XLA alias the state buffers across iterations
+    instead of double-buffering the while-loop carry — the ~5 ms/frame of
+    unattributed ``copy.*`` ops in the r3 roofline (NOTES_R3 scan-carry
+    item).  Costs ~k-times the HLO size (compile time), identical math."""
+
+    pres = jax.vmap(lambda f: _preprocess(f, intr, cfg))(frames)
+
+    def body(s, fp):
+        f, pre_done = fp
+        s2 = step_impl(s, f, intr, cfg, pre_done=pre_done)
+        return s2, s2.t
+
+    return jax.lax.scan(body, state, (frames, pres), unroll=True)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
 def step_many_traj(state: SLAMState, frames: FrameInput,
                    intr: CameraIntrinsics, cfg: SLAMConfig):
     """step_many returning full per-frame poses: (final state, (N,4,4))

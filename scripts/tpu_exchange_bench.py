@@ -41,16 +41,16 @@ for cap_arch in (1 << 20, 1 << 21, 22 * (1 << 17), 1 << 22, 1 << 23):
     mask = np.zeros(3600, bool)
     mask[0:4] = True      # half the active submaps leave
     mask[8:12] = True     # ~1/14 of the archive returns
-    a2, r2, dropped = sm.exchange_active(act, arch, jnp.asarray(mask),
+    a2, r2, stats = sm.exchange_active(act, arch, jnp.asarray(mask),
                                          jnp.int32(100), cfg)
     _ = np.asarray(a2.count)
     best = 1e9
     for _ in range(6):
         t0 = time.perf_counter()
-        a2, r2, dropped = sm.exchange_active(act, arch, jnp.asarray(mask),
+        a2, r2, stats = sm.exchange_active(act, arch, jnp.asarray(mask),
                                              jnp.int32(100), cfg)
         _ = np.asarray(a2.count)
         best = min(best, time.perf_counter() - t0)
     print(f"archive {cap_arch:9d}: exchange {best*1000:7.1f} ms  "
-          f"(act {int(a2.count)}, arch {int(r2.count)}, dropped {int(dropped)})",
+          f"(act {int(a2.count)}, arch {int(r2.count)}, dropped {int(stats[2])})",
           flush=True)

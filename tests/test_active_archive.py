@@ -39,9 +39,9 @@ def test_exchange_partitions_and_conserves():
     arch = sm.empty_map(512)
     mask = np.zeros(8, bool)
     mask[[0, 2]] = True              # deactivate submaps 1, 3
-    act2, arch2, dropped = sm.exchange_active(
+    act2, arch2, stats = sm.exchange_active(
         act, arch, jnp.asarray(mask), jnp.int32(5), CFG)
-    assert int(dropped) == 0
+    assert int(stats[2]) == 0
     assert int(act2.count) == 100    # submaps 0, 2
     assert int(arch2.count) == 100   # submaps 1, 3
     a = np.asarray(act2.data)[:100]
@@ -56,9 +56,9 @@ def test_exchange_partitions_and_conserves():
     assert set(map(tuple, np.round(orig, 5))) == set(map(tuple, np.round(now, 5)))
 
     # reactivate everything: all rows return to the active map
-    act3, arch3, dropped3 = sm.exchange_active(
+    act3, arch3, stats3 = sm.exchange_active(
         act2, arch2, jnp.asarray(np.ones(8, bool)), jnp.int32(6), CFG)
-    assert int(dropped3) == 0
+    assert int(stats3[2]) == 0
     assert int(act3.count) == 200
     assert int(arch3.count) == 0
 
@@ -85,10 +85,10 @@ def test_exchange_overflow_drops_and_reports():
     arch = sm.empty_map(64)       # too small for 100 leavers
     mask = np.zeros(8, bool)
     mask[[0, 2]] = True
-    act2, arch2, dropped = sm.exchange_active(
+    act2, arch2, stats = sm.exchange_active(
         act, arch, jnp.asarray(mask), jnp.int32(5), CFG)
     assert int(arch2.count) == 64
-    assert int(dropped) == 36
+    assert int(stats[2]) == 36
 
 
 def _run_fullslam(cfg, n=14):
