@@ -136,20 +136,32 @@ class FullSLAM:
             if item is None:
                 return
             intensity, depth_f, pose, time, reserved_id = item
+            import time as _t
+
+            def tick(key, t0):
+                t1 = _t.perf_counter()
+                self.stage_s[key] = self.stage_s.get(key, 0.0) + (t1 - t0)
+                return t1
+
+            t0 = _t.perf_counter()
             with self._backend_ctx():
                 kf_id = self.backend.insert_keyframe(intensity, depth_f,
                                                      pose, time)
                 assert kf_id == reserved_id, (
                     f"keyframe id drift: reserved {reserved_id}, backend "
                     f"assigned {kf_id} — enqueue/insert ordering violated")
+                t0 = tick("w_kf_insert", t0)
                 mask = self.backend.active_submap_mask(kf_id,
                                                        self.cfg.max_submaps)
+                t0 = tick("w_covis_mask", t0)
                 deltas = self.backend.local_ba()
+                t0 = tick("w_local_ba", t0)
                 loop = None
                 if self.loop_closer is not None:
                     cand = self.loop_closer.add_keyframe(kf_id)
                     if cand is not None:
                         loop = (self.loop_closer.correct(cand), cand)
+                tick("w_loop", t0)
             self._result_queue.put((kf_id, mask, deltas, loop))
 
     def _drain_async_results(self):

@@ -144,3 +144,33 @@ print(json.dumps({"metric": "full_slam_fps_640x480",
                   "ate_mm": round(err * 1000, 2),
                   "surfels": int(sys_.state.map.count),
                   "loops": len(sys_.loop_closures)}))
+
+# ---- optional same-process standalone-vs-in-system dense A/B (VERDICT r3
+# next-1 "within 15%" evidence): alternate the STANDALONE step_many scan and
+# the in-system step_chunk graph on the SAME final state and one fixed
+# 10-frame batch — same service window, min AND median over rounds, so the
+# protocol skew (median steady chunks vs min-over-rounds map-scale numbers)
+# is visible next to any real wrapper overhead. ----
+if int(os.environ.get("FSB_STANDALONE_AB", "0")):
+    ds, cs = zip(*(render(1 + j) for j in range(KF_PERIOD)))
+    ab_batch = slam.FrameInput(depth=jnp.stack(ds), rgb=jnp.stack(cs))
+    st = sys_.state
+    cfgf = sys_.cfg
+    times = {"step_many": [], "step_chunk": []}
+    outm = slam.step_many(st, ab_batch, intr, cfgf)
+    _ = np.asarray(outm[0].t)
+    outc = slam.step_chunk(st, ab_batch, intr, cfgf)
+    _ = np.asarray(outc[1])
+    for r in range(10):
+        t0 = time.perf_counter()
+        outm = slam.step_many(st, ab_batch, intr, cfgf)
+        _ = np.asarray(outm[0].t)
+        times["step_many"].append((time.perf_counter() - t0) * 1e3 / KF_PERIOD)
+        t0 = time.perf_counter()
+        outc = slam.step_chunk(st, ab_batch, intr, cfgf)
+        _ = np.asarray(outc[1])
+        times["step_chunk"].append((time.perf_counter() - t0) * 1e3 / KF_PERIOD)
+    for k2, v in times.items():
+        print(f"AB {k2}: min {min(v):.1f}  median {float(np.median(v)):.1f} "
+              f"ms/frame (live {int(st.map.count)} / cap {cfgf.map_capacity})",
+              flush=True)
