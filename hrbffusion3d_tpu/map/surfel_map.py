@@ -835,24 +835,60 @@ def exchange_active(act: SurfelMap, arch: SurfelMap,
             SurfelMap(data=arch_data, count=n_arch), stats)
 
 
-def apply_submap_deltas(m: SurfelMap, deltas: jnp.ndarray) -> SurfelMap:
+def _apply_deltas_rows(rows: jnp.ndarray, flat: jnp.ndarray) -> jnp.ndarray:
+    """(B,24) map rows x (S,12) row-major [R|t] table -> corrected rows."""
+    sub = jnp.clip(rows[:, SUBMAP].astype(jnp.int32), 0, flat.shape[0] - 1)
+    d = flat[sub]                                           # (B, 12)
+    keep = (rows[:, VALID] > 0.5)[:, None]
+
+    def rot(v, with_t):
+        out = []
+        for i in range(3):
+            r = d[:, 4 * i] * v[:, 0] + d[:, 4 * i + 1] * v[:, 1] \
+                + d[:, 4 * i + 2] * v[:, 2]
+            if with_t:
+                r = r + d[:, 4 * i + 3]
+            out.append(r)
+        return jnp.stack(out, axis=-1)
+
+    rows = rows.at[:, POS].set(
+        jnp.where(keep, rot(rows[:, POS], True), rows[:, POS]))
+    rows = rows.at[:, NORMAL].set(
+        jnp.where(keep, rot(rows[:, NORMAL], False), rows[:, NORMAL]))
+    rows = rows.at[:, CURV_DIR1].set(
+        jnp.where(keep, rot(rows[:, CURV_DIR1], False), rows[:, CURV_DIR1]))
+    rows = rows.at[:, CURV_DIR2].set(
+        jnp.where(keep, rot(rows[:, CURV_DIR2], False), rows[:, CURV_DIR2]))
+    return rows
+
+
+def apply_submap_deltas(m: SurfelMap, deltas: jnp.ndarray,
+                        chunk: int = 1 << 19) -> SurfelMap:
     """Post-BA dense map correction: per-surfel rigid transform looked up by
     submap index (update_delta_trans.vert:43-88; deltas built per keyframe in
     HRBFFusion::UpdateDenseGlobalModel as pose_new * pose_old^-1).
 
-    deltas: (S, 4, 4)."""
-    d = deltas[jnp.clip(m.submap, 0, deltas.shape[0] - 1)]
-    keep = m.valid[:, None]
-    data = m.data
-    pos = jnp.einsum("nij,nj->ni", d[:, :3, :3], data[:, POS]) + d[:, :3, 3]
-    nrm = jnp.einsum("nij,nj->ni", d[:, :3, :3], data[:, NORMAL])
-    d1 = jnp.einsum("nij,nj->ni", d[:, :3, :3], data[:, CURV_DIR1])
-    d2 = jnp.einsum("nij,nj->ni", d[:, :3, :3], data[:, CURV_DIR2])
-    data = data.at[:, POS].set(jnp.where(keep, pos, data[:, POS]))
-    data = data.at[:, NORMAL].set(jnp.where(keep, nrm, data[:, NORMAL]))
-    data = data.at[:, CURV_DIR1].set(jnp.where(keep, d1, data[:, CURV_DIR1]))
-    data = data.at[:, CURV_DIR2].set(jnp.where(keep, d2, data[:, CURV_DIR2]))
-    return SurfelMap(data=data, count=m.count)
+    deltas: (S, 4, 4).
+
+    Memory shape matters here: the old formulation gathered per-surfel
+    (4,4) matrices — on TPU the (4,4) minor dims tile to (8,128), a 32x
+    padding expansion, so an 8M-row archive materialized a 16 GB temp and
+    killed the compile (the r3 'HBM-estimate failure' that lost the
+    PANORAMA no-loop ablation).  Now: ONE (B,12) row gather of the flat
+    [R|t] table per ``chunk`` rows, rotation applied as column arithmetic,
+    chunks iterated with lax.map so the live temp is ~chunk*128*4 B
+    regardless of map size."""
+    flat = deltas[:, :3, :].reshape(-1, 12)
+    N = m.data.shape[0]
+    if N <= chunk:
+        return SurfelMap(data=_apply_deltas_rows(m.data, flat),
+                         count=m.count)
+    c = chunk
+    while N % c:            # largest power-of-2-ish divisor <= chunk
+        c //= 2
+    blocks = m.data.reshape(N // c, c, m.data.shape[1])
+    out = jax.lax.map(lambda b: _apply_deltas_rows(b, flat), blocks)
+    return SurfelMap(data=out.reshape(N, m.data.shape[1]), count=m.count)
 
 
 def active_from_submaps(m: SurfelMap, submap_active: jnp.ndarray) -> jnp.ndarray:

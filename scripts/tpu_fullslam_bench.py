@@ -131,7 +131,9 @@ err = ate.ate_rmse(sys_.poses(), gt[: len(sys_.trajectory)], align=False)
 
 print(f"\nfull-system fps (all-in, incl. compile tails): {fps_all:.2f}")
 print(f"full-system fps (median steady-state chunk):    {fps_steady:.2f}")
-print(f"surfels {int(sys_.state.map.count)} / cap {sys_.cfg.map_capacity}")
+print(f"surfels {int(sys_.state.map.count)} / cap {sys_.cfg.map_capacity}"
+      + (f"  archive {sys_._archive_count} (dropped {sys_.archive_dropped})"
+         if sys_.archive is not None else ""))
 print(f"keyframes {len(sys_.backend.keyframes)}  "
       f"landmarks {len(sys_.backend.landmarks)}  "
       f"loop closures {len(sys_.loop_closures)}")
