@@ -90,12 +90,16 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
     }
+    # print the dense metric IMMEDIATELY: if the full-system section is
+    # killed by a harness timeout, the last complete JSON line still
+    # carries the headline number
+    print(json.dumps(out), flush=True)
     if int(os.environ.get("BENCH_FULL", "1")):
         try:
             out.update(full_system())
         except Exception as e:  # noqa: BLE001 — the dense metric must
             out["full_system_error"] = repr(e)[:200]  # survive regardless
-    print(json.dumps(out))
+        print(json.dumps(out))
 
 
 def full_system():
@@ -107,8 +111,10 @@ def full_system():
     from hrbffusion3d_tpu.eval import ate, synth
     from hrbffusion3d_tpu.pipeline.full_slam import FullSLAM
 
+    import sys
+
     intr = TUM1
-    n, kf_period = 101, 10
+    n, kf_period = int(os.environ.get("BENCH_FULL_FRAMES", "101")), 10
     cfg = SLAMConfig(map_capacity=1048576, predict_conf_threshold=0.2,
                      use_pallas_raycast=True, clean_compact_period=4,
                      raycast_block_height=16, raycast_bisection_iters=6,
@@ -137,9 +143,18 @@ def full_system():
         t0 = time.perf_counter()
         sys_.process_batch(batch, timestamps=[float(i + j) for j in range(k)])
         chunk_times.append((time.perf_counter() - t0) / k)
+        print(f"full_system frame {i + k}/{n}: "
+              f"{chunk_times[-1] * 1000:.0f} ms/frame", file=sys.stderr,
+              flush=True)
         i += k
     sys_.join_backend()
-    steady = chunk_times[3:] if len(chunk_times) > 6 else chunk_times
+    # steady-state estimator robust to the per-process cold-compile chunks
+    # (the CPU persistent cache fails to load on this host - AOT target-
+    # feature mismatch - so backend graphs recompile every process and a
+    # few early chunks stall for minutes): exclude chunks > 3x the best
+    # chunk, i.e. chunks dominated by compilation rather than execution
+    floor = min(chunk_times)
+    steady = [t for t in chunk_times[1:] if t < 3 * floor] or chunk_times
     fps = 1.0 / float(np.median(steady))
     err = ate.ate_rmse(sys_.poses(), gt[: len(sys_.trajectory)], align=False)
     return {"full_system_fps": round(fps, 2),
