@@ -13,6 +13,14 @@ single-threaded sparse Cholesky (Optimizer.cc) becomes, per GN iteration:
 
 Edges must be pre-partitioned by landmark owner (``partition_problem``);
 cameras are replicated (they are tiny).
+
+Numerics (VERDICT r3 next-5): every within-shard segment reduction uses the
+same deterministic gather-sum plans as the single-device solver
+(backend/reduce_plan.py) — per-shard plans are built host-side, padded to
+IDENTICAL shapes across shards (two-pass shared sticky cache), and sharded
+over the mesh alongside the edge data, so the only remaining ordering
+choice is the ``psum`` tree, which XLA fixes per topology.  The solution is
+bit-stable run-to-run on every backend.
 """
 
 from __future__ import annotations
@@ -23,15 +31,17 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..backend import ba
+from ..backend import ba, reduce_plan as rp
 from ..core import lie
 
 
 class ShardedBA(NamedTuple):
     """Landmark-sharded BA problem: leading axes are (D*Ls) / (D*Es) laid
-    out device-contiguously; shard_map's P("map") splits them per device."""
+    out device-contiguously; shard_map's P("map") splits them per device.
+    ``plans``: per-shard deterministic reduction plans (rp.SchurPlans),
+    every table stacked device-contiguously on its leading axis."""
 
     cams: jnp.ndarray        # (C,4,4) replicated
     points: jnp.ndarray      # (D*Ls, 3) sharded landmarks
@@ -41,9 +51,37 @@ class ShardedBA(NamedTuple):
     info: jnp.ndarray        # (D*Es, 3, 3)
     edge_valid: jnp.ndarray  # (D*Es,)
     fixed: jnp.ndarray       # (C,) replicated
-    pair_e: jnp.ndarray      # (D*Ps,) LOCAL edge index of Schur pair lhs
-    pair_f: jnp.ndarray      # (D*Ps,) LOCAL edge index of Schur pair rhs
-    pair_valid: jnp.ndarray  # (D*Ps,) padding mask (padded pairs alias edge 0)
+    plans: rp.SchurPlans
+
+
+def _build_shard_plans(cam_local, lm_local, counts, C, Ls, Es,
+                       n_devices) -> rp.SchurPlans:
+    """Per-shard Schur plans with IDENTICAL table shapes across shards:
+    pass 1 grows a shared sticky-shape cache over every shard, pass 2
+    re-pads each shard's plans to the final cache, then tables are stacked
+    device-contiguously so shard_map's P('map') hands each device its own
+    plan."""
+    caches: dict = {}
+    per_pass = []
+    for _ in range(2):
+        per = []
+        for d in range(n_devices):
+            n_live = int(counts[d]) if d < len(counts) else 0
+            plans = rp.build_schur_plans(cam_local[d], lm_local[d], C, Ls,
+                                         with_cell=True, n_real=n_live)
+            plans = rp.SchurPlans(
+                cam=rp.pad_plan_sticky(plans.cam,
+                                       caches.setdefault("cam", {}), C, Es,
+                                       full_width=True),
+                lm=rp.pad_plan_sticky(plans.lm,
+                                      caches.setdefault("lm", {}), Ls, Es,
+                                      full_width=True),
+                cell=rp.pad_cell_plan_sticky(
+                    plans.cell, caches.setdefault("cell", {}), C * C, Es),
+            )
+            per.append(plans)
+        per_pass = per
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *per_pass)
 
 
 def partition_problem(prob: ba.BAProblem, n_devices: int) -> ShardedBA:
@@ -72,23 +110,12 @@ def partition_problem(prob: ba.BAProblem, n_devices: int) -> ShardedBA:
     flat = np.asarray(prob.points)
     pts.reshape(-1, 3)[:L] = flat
 
-    # per-shard Schur pair lists over LOCAL edge slots (ba.build_pairs on
-    # each shard), padded to a common Ps with pairs aliasing edge 0
+    cam_local = padded(np.asarray(prob.cam_idx).astype(np.int32))
     lm_local = padded(local.astype(np.int32))
     valid = padded(np.asarray(prob.edge_valid).astype(np.float32))
-    shard_pairs = []
-    for d in range(n_devices):
-        n_live = int(counts[d]) if d < counts.shape[0] else 0
-        pr = ba.build_pairs(np.zeros(n_live, np.int32), lm_local[d, :n_live])
-        shard_pairs.append((np.asarray(pr.e), np.asarray(pr.f)))
-    Ps = max(1, max(p[0].shape[0] for p in shard_pairs))
-    pe = np.zeros((n_devices, Ps), np.int32)
-    pf = np.zeros((n_devices, Ps), np.int32)
-    pv = np.zeros((n_devices, Ps), np.float32)
-    for d, (e_, f_) in enumerate(shard_pairs):
-        pe[d, :e_.shape[0]] = e_
-        pf[d, :f_.shape[0]] = f_
-        pv[d, :e_.shape[0]] = 1.0
+    C = prob.cams.shape[0]
+    plans = _build_shard_plans(cam_local, lm_local, counts, C, Ls, Es,
+                               n_devices)
 
     # flatten the device axis: shard_map's P("map") splits the leading
     # axis, so per-device blocks are stored contiguously
@@ -96,22 +123,23 @@ def partition_problem(prob: ba.BAProblem, n_devices: int) -> ShardedBA:
         cams=prob.cams,
         points=jnp.asarray(pts.reshape(n_devices * Ls, 3)),
         obs=jnp.asarray(padded(np.asarray(prob.obs)).reshape(n_devices * Es, 3)),
-        cam_idx=jnp.asarray(padded(np.asarray(prob.cam_idx)).reshape(-1)),
-        lm_idx=jnp.asarray(padded(local.astype(np.int32)).reshape(-1)),
+        cam_idx=jnp.asarray(cam_local.reshape(-1)),
+        lm_idx=jnp.asarray(lm_local.reshape(-1)),
         info=jnp.asarray(padded(np.asarray(prob.info)).reshape(n_devices * Es, 3, 3)),
         edge_valid=jnp.asarray(valid.reshape(-1)),
         fixed=prob.fixed,
-        pair_e=jnp.asarray(pe.reshape(-1)),
-        pair_f=jnp.asarray(pf.reshape(-1)),
-        pair_valid=jnp.asarray(pv.reshape(-1)),
+        plans=plans,
     )
 
 
 def _local_iteration(cams, points, obs, cam_idx, lm_idx, info, edge_valid,
-                     fixed, pair_e, pair_f, pair_valid, robust: bool,
+                     fixed, plans: rp.SchurPlans, robust: bool,
                      damping: float = 1e-6):
     """Runs inside shard_map: everything except ``cams``/``fixed`` is the
-    device-local shard (Ls landmarks, Es edges)."""
+    device-local shard (Ls landmarks, Es edges, this shard's plans).  All
+    segment reductions are deterministic plan applications — no colliding
+    scatters anywhere (same numerics as backend/ba.py's single-device
+    path)."""
     C = cams.shape[0]
     Ls = points.shape[0]
 
@@ -140,22 +168,19 @@ def _local_iteration(cams, points, obs, cam_idx, lm_idx, info, edge_valid,
     bc_e = -jnp.einsum("eai,eab,eb->ei", J_cam, Iw, e)
     bl_e = -jnp.einsum("eai,eab,eb->ei", J_lm, Iw, e)
 
-    Hcc = jnp.zeros((C, 6, 6)).at[cam_idx].add(Hcc_e)
-    bc = jnp.zeros((C, 6)).at[cam_idx].add(bc_e)
-    Hll = jnp.zeros((Ls, 3, 3)).at[lm_idx].add(Hll_e)
-    bl = jnp.zeros((Ls, 3)).at[lm_idx].add(bl_e)
+    Hcc = rp.apply_plan(plans.cam, Hcc_e, C)
+    bc = rp.apply_plan(plans.cam, bc_e, C)
+    Hll = rp.apply_plan(plans.lm, Hll_e, Ls)
+    bl = rp.apply_plan(plans.lm, bl_e, Ls)
     Hll_inv = jnp.linalg.inv(Hll + (damping + 1e-12) * jnp.eye(3))
 
-    # edge-pair Schur accumulation (same structure as backend/ba.py
-    # _solve_dense): no (C, Ls) dense tensors, O(Ps) per shard
+    # camera-pair Schur cells as batched matmuls over the cell plan (no
+    # (P,6,6) contribution tensor, fixed reduction order)
     Y_e = jnp.einsum("eij,ejk->eik", W_e, Hll_inv[lm_idx])  # (Es,6,3)
-    contrib = jnp.einsum("pik,pjk->pij", Y_e[pair_e],
-                         W_e[pair_f]) * pair_valid[:, None, None]
-    S_local = jnp.zeros((C, C, 6, 6)).at[
-        cam_idx[pair_e], cam_idx[pair_f]].add(-contrib)
+    S_local = -rp.apply_cell_plan(plans.cell, Y_e, W_e, C)
     S_local = S_local.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
-    rhs_local = bc - jnp.zeros((C, 6)).at[cam_idx].add(
-        jnp.einsum("eik,ek->ei", Y_e, bl[lm_idx]))
+    rhs_local = bc - rp.apply_plan(
+        plans.cam, jnp.einsum("eik,ek->ei", Y_e, bl[lm_idx]), C)
 
     # ---- THE collective: combine partial camera systems over the mesh ----
     S = jax.lax.psum(S_local, "map")
@@ -173,9 +198,9 @@ def _local_iteration(cams, points, obs, cam_idx, lm_idx, info, edge_valid,
     dx_cam = jnp.where(jnp.isfinite(dx_cam), dx_cam, 0.0)
     dx_cam = jnp.where(fixed[:, None], 0.0, dx_cam)
 
-    # local landmark back-substitution
-    WtDx = jnp.zeros((Ls, 3)).at[lm_idx].add(
-        jnp.einsum("eki,ek->ei", W_e, dx_cam[cam_idx]))
+    # local landmark back-substitution (deterministic lm-plan reduction)
+    WtDx = rp.apply_plan(
+        plans.lm, jnp.einsum("eki,ek->ei", W_e, dx_cam[cam_idx]), Ls)
     dx_lm = jnp.einsum("lij,lj->li", Hll_inv, bl - WtDx)
     dx_lm = jnp.where(jnp.isfinite(dx_lm), dx_lm, 0.0)
 
@@ -195,13 +220,13 @@ def make_optimizer(mesh: Mesh, iters_robust: int = 5, iters_final: int = 10):
             return _run_body(sb)
 
     def _run_body(sb: ShardedBA):
-        def inner(cams, points, obs, cam_idx, lm_idx, info, edge_valid, fixed,
-                  pair_e, pair_f, pair_valid):
+        def inner(cams, points, obs, cam_idx, lm_idx, info, edge_valid,
+                  fixed, plans):
             def rb(_, carry):
                 cams, points, chi = carry
                 cams, points, chi = _local_iteration(
                     cams, points, obs, cam_idx, lm_idx, info, edge_valid,
-                    fixed, pair_e, pair_f, pair_valid, robust=True)
+                    fixed, plans, robust=True)
                 return cams, points, chi
 
             cams, points, chi = jax.lax.fori_loop(
@@ -218,20 +243,21 @@ def make_optimizer(mesh: Mesh, iters_robust: int = 5, iters_final: int = 10):
                 cams, points, chi = carry
                 cams, points, chi = _local_iteration(
                     cams, points, obs, cam_idx, lm_idx, info, ev, fixed,
-                    pair_e, pair_f, pair_valid, robust=False)
+                    plans, robust=False)
                 return cams, points, chi
 
             cams, points, chi = jax.lax.fori_loop(
                 0, iters_final, fin, (cams, points, chi))
             return cams, points, chi
 
+        plan_spec = jax.tree.map(lambda _: shd, sb.plans)
         return jax.shard_map(
             inner, mesh=mesh,
-            in_specs=(rep, shd, shd, shd, shd, shd, shd, rep, shd, shd, shd),
+            in_specs=(rep, shd, shd, shd, shd, shd, shd, rep, plan_spec),
             out_specs=(rep, shd, rep),
             check_vma=False,
         )(sb.cams, sb.points, sb.obs, sb.cam_idx, sb.lm_idx, sb.info,
-          sb.edge_valid, sb.fixed, sb.pair_e, sb.pair_f, sb.pair_valid)
+          sb.edge_valid, sb.fixed, sb.plans)
 
     return run
 
