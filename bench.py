@@ -6,8 +6,13 @@ closing, async pipeline) over a Kinect-noisy loopy sequence, reported as
 (VERDICT r3 next-7: the driver-visible bench must capture both the
 dense-step and the full-system metric).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": "fps",
-"vs_baseline": N, "full_system_fps": N, "full_system_ate_mm": N}.
+Output protocol: LAST JSON LINE WINS.  The dense-only metric prints
+immediately (so a harness timeout still captures the headline number), then
+with BENCH_FULL=1 (default) a SECOND, complete JSON line re-prints every
+key plus the full-system section ({"full_system_fps": N,
+"full_system_fps_allin": N, "full_system_max_chunk_s": N,
+"full_system_ate_mm": N, "full_system_loops": N}).  A driver should parse
+the final JSON line.
 Baseline = the reference's 30 fps real-time design target on a desktop GPU
 (GUI/src/HRBF_fusion.cpp:237-240; the repo publishes no other numbers,
 BASELINE.md).  Set BENCH_FULL=0 to skip the full-system section.
@@ -103,26 +108,38 @@ def main():
 
 
 def full_system():
-    """Product-level metric: FullSLAM (keyframes + local BA + loop closing,
-    async pipeline — SURVEY §2.14c) on a 101-frame Kinect-noisy loopy
-    sequence of the cluttered room at 640x480, map capacity 1M (the
-    FULLSLAM_r0x protocol at reduced length; scripts/tpu_fullslam_bench.py
-    is the full 211-frame version)."""
+    """Product-level metric: FullSLAM (keyframes + local BA + loop closing
+    + active/archive split, BA on-chip — SURVEY §2.14) on a Kinect-noisy
+    PANORAMA sweep of the cluttered room at 640x480.
+
+    Protocol (VERDICT r4 next-7): the heading sweeps past 360 deg at the
+    PANORAMA_r04-validated angular rate (1.8 deg/frame), so covisibility
+    breaks on the way out and the sequence re-reaches its start heading
+    around frame 200 — detection -> Sim3 -> correction fires EVERY round
+    and ``full_system_loops`` must be >= 1.  Both the steady-median fps
+    and the all-in fps (total wall / frames, compile chunks included) are
+    reported, plus the worst chunk (VERDICT r4 weak-1: a number that
+    filters out minutes of wall-clock is not the number a user
+    experiences)."""
     from hrbffusion3d_tpu.eval import ate, synth
     from hrbffusion3d_tpu.pipeline.full_slam import FullSLAM
 
     import sys
 
     intr = TUM1
-    n, kf_period = int(os.environ.get("BENCH_FULL_FRAMES", "101")), 10
-    cfg = SLAMConfig(map_capacity=1048576, predict_conf_threshold=0.2,
+    n, kf_period = int(os.environ.get("BENCH_FULL_FRAMES", "281")), 10
+    use_async = bool(int(os.environ.get("BENCH_FULL_ASYNC", "1")))
+    cfg = SLAMConfig(map_capacity=393216, predict_conf_threshold=0.2,
                      use_pallas_raycast=True, clean_compact_period=4,
                      raycast_block_height=16, raycast_bisection_iters=6,
                      raycast_false_position=3, clean_crowd_period=4,
-                     keyframe_period=kf_period, use_global_ba=True)
+                     keyframe_period=kf_period, use_global_ba=True,
+                     active_capacity=393216, archive_capacity=2097152)
     scene = synth.complex_room()
-    gt = synth.loopy_trajectory(n, n_loops=1, radius=0.55)
-    sys_ = FullSLAM(intr, cfg, init_pose=gt[0], async_ba=True)
+    # same 1.8 deg/frame heading rate as the validated 401-frame/2-turn
+    # panorama (closure window frames 211-261 there, PANORAMA_r04)
+    gt = synth.panorama_trajectory(n, n_turns=1.8 * (n - 1) / 360.0)
+    sys_ = FullSLAM(intr, cfg, init_pose=gt[0], async_ba=use_async)
 
     def render(i):
         # device-resident frames (sensor-ingest tunnel artifact excluded —
@@ -134,6 +151,8 @@ def full_system():
     d0, c0 = render(0)
     sys_.process(slam.FrameInput(depth=d0, rgb=c0), timestamp=0.0)
     chunk_times = []
+    chunk_walls = []
+    t_total = 0.0
     i = 1
     while i < n:
         k = min(kf_period, n - i)
@@ -142,23 +161,29 @@ def full_system():
         _ = np.asarray(batch.depth[0, 0, :2])
         t0 = time.perf_counter()
         sys_.process_batch(batch, timestamps=[float(i + j) for j in range(k)])
-        chunk_times.append((time.perf_counter() - t0) / k)
+        dt = time.perf_counter() - t0
+        t_total += dt
+        chunk_walls.append(dt)
+        chunk_times.append(dt / k)
         print(f"full_system frame {i + k}/{n}: "
-              f"{chunk_times[-1] * 1000:.0f} ms/frame", file=sys.stderr,
+              f"{chunk_times[-1] * 1000:.0f} ms/frame  "
+              f"kfs {len(sys_.backend.keyframes)} "
+              f"loops {len(sys_.loop_closures)}", file=sys.stderr,
               flush=True)
         i += k
     sys_.join_backend()
-    # steady-state estimator robust to the per-process cold-compile chunks
-    # (the CPU persistent cache fails to load on this host - AOT target-
-    # feature mismatch - so backend graphs recompile every process and a
-    # few early chunks stall for minutes): exclude chunks > 3x the best
-    # chunk, i.e. chunks dominated by compilation rather than execution
+    # steady-state estimator (chunks > 3x the best are compile-dominated)
+    # — reported ALONGSIDE the all-in number, never instead of it
     floor = min(chunk_times)
     steady = [t for t in chunk_times[1:] if t < 3 * floor] or chunk_times
     fps = 1.0 / float(np.median(steady))
+    fps_allin = (n - 1) / t_total
     err = ate.ate_rmse(sys_.poses(), gt[: len(sys_.trajectory)], align=False)
     return {"full_system_fps": round(fps, 2),
+            "full_system_fps_allin": round(fps_allin, 2),
+            "full_system_max_chunk_s": round(max(chunk_walls), 1),
             "full_system_ate_mm": round(err * 1000, 2),
+            "full_system_loops": len(sys_.loop_closures),
             "full_system_vs_baseline": round(fps / BASELINE_FPS, 3)}
 
 

@@ -100,17 +100,27 @@ def patch_information(depth: np.ndarray, xy: np.ndarray,
     return info
 
 
+# byte-popcount LUT fallback for NumPy < 2.0 (np.bitwise_count is 2.0+)
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(1).astype(np.uint8)
+
+
 def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(M,8)u32 x (N,8)u32 -> (M,N) Hamming distances (DescriptorDistance,
     ORBmatcher.cc:1182-1197).  u64 hardware popcount (np.bitwise_count):
     4 ops per pair instead of 64 byte-LUT gathers — the byte-table version
-    measured 1.15 s per keyframe insert at ~2.7k landmarks."""
+    measured 1.15 s per keyframe insert at ~2.7k landmarks.  On NumPy 1.x
+    (no bitwise_count) the byte-LUT path runs instead."""
     a = np.ascontiguousarray(a)   # device-originated arrays may be strided
     b = np.ascontiguousarray(b)
-    a64 = a.view(np.uint64).reshape(a.shape[0], -1)
-    b64 = b.view(np.uint64).reshape(b.shape[0], -1)
-    return np.bitwise_count(a64[:, None, :] ^ b64[None, :, :]).sum(
-        -1, dtype=np.int32)
+    if hasattr(np, "bitwise_count"):
+        a64 = a.view(np.uint64).reshape(a.shape[0], -1)
+        b64 = b.view(np.uint64).reshape(b.shape[0], -1)
+        return np.bitwise_count(a64[:, None, :] ^ b64[None, :, :]).sum(
+            -1, dtype=np.int32)
+    a8 = a.view(np.uint8).reshape(a.shape[0], -1)
+    b8 = b.view(np.uint8).reshape(b.shape[0], -1)
+    return _POPCNT8[a8[:, None, :] ^ b8[None, :, :]].sum(-1, dtype=np.int32)
 
 
 class SparseBackend:
@@ -122,7 +132,7 @@ class SparseBackend:
                  mesh=None, proj_gate_px: float = 4.0,
                  use_patch_covariance: bool = True,
                  detect_device=None,
-                 ba_pad_min: tuple = (0, 0, 0)):
+                 ba_pad_min: tuple = (0, 0, 0), ba_device=None):
         self.intr = intr
         self.cfg = cfg
         self.n_features = n_features
@@ -158,9 +168,14 @@ class SparseBackend:
         # session-sticky plan-shape cache (ba.build_plans): local BA
         # recompiles only when a table shape grows, not every keyframe
         self._plan_shape_cache: dict = {}
-        # separate (default None = current default device, i.e. the CPU
-        # backend under FullSLAM): see the accuracy note at the BA solve
-        self.ba_device = None
+        # device for the (jitted) BA / pose-graph solves.  None = current
+        # default device (the CPU backend under FullSLAM's backend ctx);
+        # FullSLAM passes the dense accelerator by default since r5: the
+        # deterministic reduction plans made the on-chip solve CPU-matching
+        # to 3e-7 (scripts/tpu_ba_verify.py), and the host-CPU path pays an
+        # unfixable per-process re-codegen of the big optimizer graphs
+        # (XLA:CPU AOT cache never loads here — NOTES_R5)
+        self.ba_device = ba_device
         self.keyframes: list[Keyframe] = []
         self.landmarks: dict[int, np.ndarray] = {}      # id -> world (3,)
         self.lm_obs: dict[int, list[tuple[int, int]]] = {}  # id -> [(kf, kp)]
@@ -569,13 +584,14 @@ class SparseBackend:
             new_tcw = np.asarray(cams_d)[:n_cams]
             new_points = dist_ba.gather_points(points_d, n_lms)
         else:
-            # the padded-bucket BA solve COULD go to the dense device like
-            # detection (one ~50 ms dispatch vs ~3.7 s on these 2 CPU
-            # cores), but the TPU's f32 scatter-add accumulation order
-            # costs real accuracy in the Schur system (on-chip 211-frame
-            # ATE: 22.6 mm TPU vs 14.3 mm CPU, both f32-pinned; g2o is
-            # f64) — so BA stays on the host CPU by default (ba_device)
-            # and the async pipeline hides its latency instead
+            # ba_device routes the padded-bucket solve (one jitted
+            # dispatch).  History: r3 kept BA on the host CPU because the
+            # TPU's colliding scatter-add order cost ~8 mm ATE; the r4
+            # deterministic reduction plans (reduce_plan.py) fixed the
+            # accumulation order on every backend (tpu_ba_verify: 3e-7
+            # CPU/TPU match, bit-stable), so r5 defaults FullSLAM to the
+            # chip — the 2-core host was both the slow resource and the
+            # compile-stall source (VERDICT r4 next-1/2)
             import contextlib
 
             ctx = (jax.default_device(self.ba_device)
@@ -614,9 +630,33 @@ class SparseBackend:
         return [k for k, c in sorted(counts.items()) if c >= min_shared]
 
     def active_submap_mask(self, kf_id: int, max_submaps: int) -> np.ndarray:
+        """Covisible-submap mask for the dense pipeline.
+
+        Floor (VERDICT r4 weak-7): in fully-new territory the >=15-shared
+        covisibility set is empty, and a mask of just the NEW keyframe
+        empties the active window (its surfels aren't fused yet) — HRBF
+        prediction goes blank and tracking degrades to frame-to-frame.
+        ORB-SLAM2's UpdateConnections has the same floor (KeyFrame.cc:
+        if no neighbour passes the threshold, the single best-sharing
+        keyframe is connected anyway); additionally the PREVIOUS keyframe
+        (the spanning-tree fallback parent) always stays active, so the
+        last period's surfels remain predictable."""
         active = np.zeros((max_submaps,), bool)
         active[kf_id] = True
-        for k in self.covisible_keyframes(kf_id):
+        cov = self.covisible_keyframes(kf_id)
+        if not cov:
+            counts: dict[int, int] = {}
+            kf = self.keyframes[kf_id]
+            for lid in kf.landmark_ids:
+                if lid >= 0:
+                    for other, _ in self.lm_obs[lid]:
+                        if other != kf_id:
+                            counts[other] = counts.get(other, 0) + 1
+            if counts:
+                cov = [max(counts, key=counts.get)]
+            if kf_id > 0:
+                cov = list({*cov, kf_id - 1})
+        for k in cov:
             active[k] = True
         return active
 

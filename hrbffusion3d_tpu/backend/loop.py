@@ -92,6 +92,18 @@ class LoopCloser:
         self.loop_edges: list[tuple[int, int, np.ndarray]] = []
 
     # ------------------------------------------------------------------ #
+    def _ba_ctx(self):
+        """Device context of the backend's BA device (keyframes.ba_device):
+        pose-graph + global-BA solves run there too."""
+        import contextlib
+
+        import jax
+
+        if self.backend.ba_device is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self.backend.ba_device)
+
+    # ------------------------------------------------------------------ #
     def _covis_group(self, kf_id: int) -> frozenset:
         return frozenset(
             [kf_id] + self.backend.covisible_keyframes(
@@ -326,8 +338,11 @@ class LoopCloser:
             edge_valid=jnp.ones((E,)),
             fixed=jnp.asarray(fixed),
         )
-        g_opt, _ = posegraph.optimize(g, iterations=25)
-        new_poses = np.asarray(g_opt.poses)
+        # the essential-graph solve rides the same device as BA (the dense
+        # accelerator under FullSLAM since r5 — see keyframes.ba_device)
+        with self._ba_ctx():
+            g_opt, _ = posegraph.optimize_jit(g, iterations=25)
+            new_poses = np.asarray(g_opt.poses)
 
         # propagate to landmarks (CorrectLoop pose propagation l.450-525):
         # move each landmark with its reference (first-observing) keyframe
@@ -400,9 +415,10 @@ class LoopCloser:
         n_edges = obs.shape[0]
         prob = ba.pad_problem(prob, collapse_pad_lms=True)
         plans = ba.build_plans(prob, solver, n_real=n_edges)
-        out, _ = ba.optimize_jit(prob, solver=solver, plans=plans)
-        new_tcw = np.asarray(out.cams)[:K]
-        new_points = np.asarray(out.points)[:len(lm_sel)]
+        with self._ba_ctx():
+            out, _ = ba.optimize_jit(prob, solver=solver, plans=plans)
+            new_tcw = np.asarray(out.cams)[:K]
+            new_points = np.asarray(out.points)[:len(lm_sel)]
 
         deltas = np.zeros((K, 4, 4), np.float32)
         for k in range(K):

@@ -61,26 +61,28 @@ def _build_shard_plans(cam_local, lm_local, counts, C, Ls, Es,
     re-pads each shard's plans to the final cache, then tables are stacked
     device-contiguously so shard_map's P('map') hands each device its own
     plan."""
+    # the raw plans (incl. build_pairs_np's O(sum d^2) pair enumeration,
+    # ~0.35 s at 262k pairs) are shard-invariant across the two passes;
+    # only the cheap sticky re-pad runs twice (pass 1 grows the shared
+    # shape cache, pass 2 re-pads to its final state) — ADVICE r4
     caches: dict = {}
+    raw = []
+    for d in range(n_devices):
+        n_live = int(counts[d]) if d < len(counts) else 0
+        raw.append(rp.build_schur_plans(cam_local[d], lm_local[d], C, Ls,
+                                        with_cell=True, n_real=n_live))
     per_pass = []
     for _ in range(2):
-        per = []
-        for d in range(n_devices):
-            n_live = int(counts[d]) if d < len(counts) else 0
-            plans = rp.build_schur_plans(cam_local[d], lm_local[d], C, Ls,
-                                         with_cell=True, n_real=n_live)
-            plans = rp.SchurPlans(
-                cam=rp.pad_plan_sticky(plans.cam,
-                                       caches.setdefault("cam", {}), C, Es,
-                                       full_width=True),
-                lm=rp.pad_plan_sticky(plans.lm,
-                                      caches.setdefault("lm", {}), Ls, Es,
-                                      full_width=True),
-                cell=rp.pad_cell_plan_sticky(
-                    plans.cell, caches.setdefault("cell", {}), C * C, Es),
-            )
-            per.append(plans)
-        per_pass = per
+        per_pass = [rp.SchurPlans(
+            cam=rp.pad_plan_sticky(plans.cam,
+                                   caches.setdefault("cam", {}), C, Es,
+                                   full_width=True),
+            lm=rp.pad_plan_sticky(plans.lm,
+                                  caches.setdefault("lm", {}), Ls, Es,
+                                  full_width=True),
+            cell=rp.pad_cell_plan_sticky(
+                plans.cell, caches.setdefault("cell", {}), C * C, Es),
+        ) for plans in raw]
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *per_pass)
 
 

@@ -69,3 +69,11 @@ def shard_state(state: SLAMState, mesh: Mesh) -> SLAMState:
 
 def shard_frame(frame: FrameInput, mesh: Mesh) -> FrameInput:
     return jax.device_put(frame, frame_sharding(mesh))
+
+
+def shard_frame_batch(frames: FrameInput, mesh: Mesh) -> FrameInput:
+    """Stacked (N,H,W[,C]) frame batches: image ROWS sharded (axis 1), the
+    time axis replicated (scan consumes it sequentially)."""
+    s = NamedSharding(mesh, P(None, "map"))
+    return FrameInput(depth=jax.device_put(frames.depth, s),
+                      rgb=jax.device_put(frames.rgb, s))

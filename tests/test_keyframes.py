@@ -120,6 +120,34 @@ def test_covisibility_and_active_mask():
     assert mask.sum() >= 2
 
 
+def test_active_mask_floor_in_new_territory():
+    """VERDICT r4 weak-7: when the new keyframe shares NO landmarks with
+    any prior keyframe (fully-new territory), the active mask must not
+    collapse to just the new (surfel-less) submap — the previous keyframe
+    stays active (ORB-SLAM2 UpdateConnections keeps the best-sharing
+    keyframe even below threshold; the spanning-tree parent fallback)."""
+    from hrbffusion3d_tpu.backend.keyframes import Keyframe
+
+    be = SparseBackend(INTR, CFG, fast_threshold=8.0)
+    for k in range(3):
+        # hand-built keyframes with disjoint landmark sets (no sharing)
+        lm_ids = np.arange(4) + 10 * k
+        be.keyframes.append(Keyframe(
+            kf_id=k, frame_time=1 + 4 * k, pose=np.eye(4, dtype=np.float32),
+            kp_xy=np.zeros((4, 2)), kp_cam=np.zeros((4, 3)),
+            desc=np.zeros((4, 8), np.uint32), kp_valid=np.ones(4, bool),
+            landmark_ids=lm_ids.astype(np.int64)))
+        for lid in lm_ids:
+            be.landmarks[int(lid)] = np.zeros(3, np.float32)
+            be.lm_obs[int(lid)] = [(k, int(lid % 4))]
+    assert be.covisible_keyframes(2) == []          # truly disjoint
+    mask = be.active_submap_mask(2, max_submaps=10)
+    assert mask[2] and mask[1], mask                # floor: previous kf
+    # keyframe 0: no previous, no shared landmarks -> only itself
+    mask0 = be.active_submap_mask(0, max_submaps=10)
+    assert mask0[0]
+
+
 def test_patch_information_depth_edge_downweights():
     """PreProcessFrame parity (HRBFFusion.cpp:596-677): a keypoint on a
     depth discontinuity must get much weaker z-information than one on a
