@@ -132,7 +132,8 @@ class SparseBackend:
                  mesh=None, proj_gate_px: float = 4.0,
                  use_patch_covariance: bool = True,
                  detect_device=None,
-                 ba_pad_min: tuple = (0, 0, 0), ba_device=None):
+                 ba_pad_min: tuple = (0, 0, 0), ba_device=None,
+                 plan_cache_path: str | None = None):
         self.intr = intr
         self.cfg = cfg
         self.n_features = n_features
@@ -165,9 +166,30 @@ class SparseBackend:
         # recompile at every power-of-2 growth (FullSLAM sets production
         # mins; the default keeps small unit-test problems small)
         self.ba_pad_min = ba_pad_min
-        # session-sticky plan-shape cache (ba.build_plans): local BA
-        # recompiles only when a table shape grows, not every keyframe
+        # session-sticky plan-shape caches (ba.build_plans), keyed by the
+        # padded (E,L,C) bucket so local and global BA never thrash each
+        # other's sticky shapes: the optimizer recompiles only when a
+        # table shape grows, not every keyframe.  ``plan_cache_path``
+        # (e.g. the committed ba_plans.json) pre-seeds the caches with a
+        # prior run's CONVERGED shapes, making the BA executable's
+        # signature stable from the very first call — the persistent
+        # compile cache then hits and the cold-run compile band (~20 min
+        # of serialized remote compiles interleaved through the first
+        # chunks, NOTES_R5) disappears entirely.
         self._plan_shape_cache: dict = {}
+        self.plan_cache_path = plan_cache_path
+        if plan_cache_path:
+            import json
+            import os
+
+            if os.path.exists(plan_cache_path):
+                with open(plan_cache_path) as f:
+                    raw = json.load(f)
+                self._plan_shape_cache = {
+                    bucket: {kind: {int(d): int(tb)
+                                    for d, tb in shapes.items()}
+                             for kind, shapes in kinds.items()}
+                    for bucket, kinds in raw.items()}
         # device for the (jitted) BA / pose-graph solves.  None = current
         # default device (the CPU backend under FullSLAM's backend ctx);
         # FullSLAM passes the dense accelerator by default since r5: the
@@ -571,7 +593,8 @@ class SparseBackend:
             prob = ba.pad_problem(prob, collapse_pad_lms=True,
                                   min_edges=me, min_lms=ml, min_cams=mc)
             plans = ba.build_plans(prob, solver, n_real=n_edges,
-                                   shape_cache=self._plan_shape_cache)
+                                   shape_cache=self.plan_shape_cache_for(
+                                       prob))
         else:
             prob = ba.pad_problem(prob)
         if self.mesh is not None:
@@ -613,6 +636,26 @@ class SparseBackend:
         for lid, k in lm_index.items():
             self.landmarks[lid] = new_points[k]
         return deltas
+
+    # ------------------------------------------------------------------ #
+    def plan_shape_cache_for(self, padded_prob) -> dict:
+        """The sticky-shape cache for a padded problem's (E,L,C) bucket."""
+        key = (f"{padded_prob.obs.shape[0]}x{padded_prob.points.shape[0]}"
+               f"x{padded_prob.cams.shape[0]}")
+        return self._plan_shape_cache.setdefault(key, {})
+
+    def save_plan_cache(self, path: str | None = None) -> None:
+        """Persist the converged sticky plan shapes (see plan_cache_path)."""
+        import json
+
+        path = path or self.plan_cache_path
+        if not path:
+            return
+        out = {bucket: {kind: {str(d): int(tb) for d, tb in shapes.items()}
+                        for kind, shapes in kinds.items()}
+               for bucket, kinds in self._plan_shape_cache.items()}
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
 
     # ------------------------------------------------------------------ #
     def covisible_keyframes(self, kf_id: int, min_shared: int = 15) -> list[int]:

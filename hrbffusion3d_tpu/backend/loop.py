@@ -414,7 +414,10 @@ class LoopCloser:
         solver = "dense" if K <= ba.DENSE_SOLVER_MAX_CAMS else "cg"
         n_edges = obs.shape[0]
         prob = ba.pad_problem(prob, collapse_pad_lms=True)
-        plans = ba.build_plans(prob, solver, n_real=n_edges)
+        # per-bucket sticky shapes shared with the backend (repeat closures
+        # in the same bucket reuse the compiled optimizer)
+        plans = ba.build_plans(prob, solver, n_real=n_edges,
+                               shape_cache=be.plan_shape_cache_for(prob))
         with self._ba_ctx():
             out, _ = ba.optimize_jit(prob, solver=solver, plans=plans)
             new_tcw = np.asarray(out.cams)[:K]

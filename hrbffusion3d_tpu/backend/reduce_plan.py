@@ -99,14 +99,22 @@ def apply_plan(plan: ReducePlan, data: jnp.ndarray, n_targets: int):
     """Deterministic segment reduction: (E, *block) -> (T, *block).
 
     Each target's sources are summed in a fixed order (gather + axis sum);
-    the final scatter has unique target rows (padding rows drop)."""
+    the final scatter has unique target rows (padding rows drop).
+
+    The gather runs on FLATTENED rows: a (6,6) or (6,3) block gather tiles
+    both minor dims to the TPU's (8,128) layout — up to ~21x padding — while
+    a flat 36-wide row gather pads once to 128 (the NOTES_R4 rule: never
+    gather tiny-minor-dim multi-axis blocks; gather flat rows and slice).
+    Summation order is unchanged (reshape is bitwise-neutral), so CPU/TPU
+    numerics and the bit-stability guarantees are untouched."""
     block = data.shape[1:]
-    z = jnp.concatenate([data, jnp.zeros((1,) + block, data.dtype)])
-    out = jnp.zeros((n_targets,) + block, data.dtype)
+    flat = data.reshape(data.shape[0], -1)
+    z = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), data.dtype)])
+    out = jnp.zeros((n_targets, flat.shape[1]), data.dtype)
     for idx, rows in plan.tables:
         out = out.at[rows].add(z[idx].sum(axis=1), mode="drop",
                                unique_indices=True)
-    return out
+    return out.reshape((n_targets,) + block)
 
 
 class CellPlan(NamedTuple):
@@ -149,12 +157,17 @@ def apply_cell_plan(cell: CellPlan, Y_e: jnp.ndarray, W_e: jnp.ndarray,
     """S_off[a,b] = sum_{(e,f) in cell} Y_e W_f^T as batched matmuls:
     (Tb, 6, 3D) @ (Tb, 3D, 6) per bucket — MXU-shaped on TPU, vectorized
     on CPU, deterministic reduction order everywhere."""
-    Yz = jnp.concatenate([Y_e, jnp.zeros((1,) + Y_e.shape[1:], Y_e.dtype)])
-    Wz = jnp.concatenate([W_e, jnp.zeros((1,) + W_e.shape[1:], W_e.dtype)])
+    # flat-row gathers (18-wide), reshaped to blocks only for the einsum —
+    # a direct (6,3)-block gather tiles both minor dims to (8,128) on TPU
+    # (see apply_plan; summation order unchanged)
+    Yz = jnp.concatenate([Y_e.reshape(-1, 18),
+                          jnp.zeros((1, 18), Y_e.dtype)])
+    Wz = jnp.concatenate([W_e.reshape(-1, 18),
+                          jnp.zeros((1, 18), W_e.dtype)])
     S = jnp.zeros((n_cams * n_cams, 6, 6), Y_e.dtype)
     for pe, pf, rows in cell.tables:
-        Yg = Yz[pe]                      # (Tb, D, 6, 3)
-        Wg = Wz[pf]
+        Yg = Yz[pe].reshape(pe.shape + (6, 3))   # (Tb, D, 6, 3)
+        Wg = Wz[pf].reshape(pf.shape + (6, 3))
         Sc = jnp.einsum("tdik,tdjk->tij", Yg, Wg)
         S = S.at[rows].add(Sc, mode="drop", unique_indices=True)
     return S.reshape(n_cams, n_cams, 6, 6)

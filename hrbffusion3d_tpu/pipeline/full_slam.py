@@ -105,6 +105,18 @@ class FullSLAM:
             bk["ba_device"] = jax.devices()[0]
         if mesh is not None:
             bk.setdefault("mesh", mesh)
+        # committed converged plan shapes (ba_plans.json at the repo root):
+        # pre-seeding them pins the BA executable signature from call 1, so
+        # warm processes hit the persistent compile cache instead of paying
+        # the serialized remote-compile band (NOTES_R5)
+        if "plan_cache_path" not in bk:
+            import os
+
+            default_plans = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), "ba_plans.json")
+            if os.path.exists(default_plans):
+                bk["plan_cache_path"] = default_plans
         self.backend = SparseBackend(intr, cfg, **bk)
         self.loop_closer = None
         if cfg.use_global_ba:

@@ -74,7 +74,11 @@ else:
 # BoW threshold, min_inliers=20 (ComputeSim3 inlier bar), consistency=3
 # (mnCovisibilityConsistencyTh, LoopClosing.cc:169) — the configuration the
 # parity claims are made for, no overrides
-sys_ = FullSLAM(intr, cfg, init_pose=gt[0], async_ba=ASYNC)
+# FSB_BA_CHIP=0: force the BA/posegraph solves back onto the host CPU
+# backend (the r3/r4 configuration) — the ATE A/B for the on-chip default
+BA_CHIP = os.environ.get("FSB_BA_CHIP")
+sys_ = FullSLAM(intr, cfg, init_pose=gt[0], async_ba=ASYNC,
+                ba_on_chip=None if BA_CHIP is None else bool(int(BA_CHIP)))
 
 
 def render(i):
@@ -119,6 +123,12 @@ while i < N:
     i += k
 
 sys_.join_backend()
+if int(os.environ.get("FSB_SAVE_PLANS", "0")):
+    # persist the converged BA plan shapes: later runs pre-seed them and
+    # hit the persistent compile cache from the first keyframe (NOTES_R5)
+    sys_.backend.save_plan_cache(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "ba_plans.json"))
 tot = sum(sys_.stage_s.values())
 print("stage breakdown (s, % of tracked):")
 for k, v in sorted(sys_.stage_s.items(), key=lambda kv: -kv[1]):
