@@ -79,8 +79,20 @@ def _preprocess(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig):
 
 def bootstrap(frame: FrameInput, intr: CameraIntrinsics, cfg: SLAMConfig,
               init_pose: jnp.ndarray | None = None) -> SLAMState:
-    """First-frame initialisation (HRBFFusion.cpp:1026-1059)."""
+    """First-frame initialisation (HRBFFusion.cpp:1026-1059).
+
+    Jitted as ONE graph: the eager formulation dispatched hundreds of
+    individual ops through the remote-TPU tunnel, each a ~0.4 s remote
+    compile that jax by default refuses to persist (< 1 s) — measured
+    124-280 s of pure per-process overhead before the first frame
+    (NOTES_R5 warm-process attribution)."""
     pose = jnp.eye(4) if init_pose is None else jnp.asarray(init_pose)
+    return _bootstrap_jit(frame, pose, intr, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def _bootstrap_jit(frame: FrameInput, pose: jnp.ndarray,
+                   intr: CameraIntrinsics, cfg: SLAMConfig) -> SLAMState:
     depth_f, pre, curv, intensity = _preprocess(frame, intr, cfg)
     conf = preprocess.confidence_map(pre, curv, intr, cfg, weighting=1.0)
     meas = sm.measurement_from_preprocess(pre, curv, frame.rgb, conf)

@@ -10,4 +10,8 @@ def enable(path: str = "/root/repo/.jax_cache"):
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist EVERYTHING: through the remote-compile tunnel even trivial
+    # eager ops cost ~0.4 s to compile, and the default 1 s floor meant
+    # every process re-compiled hundreds of them (measured 124-280 s of
+    # warm-process overhead before the first frame — NOTES_R5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
