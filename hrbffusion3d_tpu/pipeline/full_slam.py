@@ -50,7 +50,7 @@ class FullSLAM:
                  backend_kwargs: dict | None = None, init_pose=None,
                  loop_kwargs: dict | None = None, async_ba: bool = False,
                  backend_on_cpu: bool = True, ba_on_chip: bool | None = None,
-                 mesh=None):
+                 mesh=None, async_queue_depth: int = 2):
         self.intr = intr
         self.cfg = cfg
         # optional jax.sharding.Mesh: the FULL system runs sharded — dense
@@ -158,6 +158,17 @@ class FullSLAM:
         # the reference's NeedNewSubMap idle check, a new keyframe is only
         # inserted when the worker is idle.
         self.async_ba = async_ba
+        # how many keyframes may be queued/processing at once: the
+        # reference's LocalMapping drains a QUEUE (CheckNewKeyFrames,
+        # LocalMapping.cc:55-107) — a busy worker delays keyframes rather
+        # than dropping them.  Depth 1 reproduces the old idle-gated
+        # behavior; deeper queues process more of the cadence at the cost
+        # of keyframe poses enqueued before the latest BA correction
+        # (reconciled: pending poses ride the same per-submap delta as the
+        # live pose; BA re-estimates the pose anyway, so enqueue staleness
+        # only perturbs the GN seed at mm scale).
+        self.async_queue_depth = async_queue_depth
+        self._pending_fixes: dict = {}
         self._last_kf_time = -(10 ** 9)
         self._inflight = 0
         # authoritative next keyframe id: enqueue-time reservation instead
@@ -167,9 +178,11 @@ class FullSLAM:
         # kf_of_frame)
         self._next_kf_id = 0
         self.async_corrections = 0
+        import threading
+
+        self._fix_lock = threading.Lock()
         if async_ba:
             import queue
-            import threading
 
             self._kf_queue: "queue.Queue" = queue.Queue()
             self._result_queue: "queue.Queue" = queue.Queue()
@@ -192,6 +205,13 @@ class FullSLAM:
                 return t1
 
             t0 = _t.perf_counter()
+            # corrections applied since this keyframe was enqueued moved
+            # the map under it: ride the same per-submap delta the live
+            # pose rode (queue-depth > 1 reconciliation)
+            with self._fix_lock:
+                fix = self._pending_fixes.pop(reserved_id, None)
+            if fix is not None:
+                pose = (fix @ pose).astype(np.float32)
             with self._backend_ctx():
                 kf_id = self.backend.insert_keyframe(intensity, depth_f,
                                                      pose, time)
@@ -368,12 +388,15 @@ class FullSLAM:
 
             if self.async_ba and cfg.use_local_ba:
                 self._drain_async_results()
-                idle = self._inflight == 0
+                idle = self._inflight < self.async_queue_depth
                 if idle and (time - self._last_kf_time) >= cfg.keyframe_period:
                     intensity, depth_f = self._kf_inputs(frame)
                     kf_id = self._next_kf_id
                     self._last_kf_time = time
                     self._inflight += 1
+                    with self._fix_lock:
+                        self._pending_fixes[kf_id] = np.eye(4,
+                                                            dtype=np.float32)
                     # the new submap must be active immediately (its surfels
                     # are fused under kf_id before the worker's covisibility
                     # mask arrives)
@@ -507,11 +530,14 @@ class FullSLAM:
                     # step_chunk's packed live_count predates it (ADVICE r4)
                     if cfg.active_capacity > 0 and self._active_count is not None:
                         live_count = self._active_count
-                    if self._inflight == 0:
+                    if self._inflight < self.async_queue_depth:
                         intensity, depth_f = self._kf_inputs(last)
                         kf_id = self._next_kf_id
                         self._last_kf_time = time
                         self._inflight += 1
+                        with self._fix_lock:
+                            self._pending_fixes[kf_id] = np.eye(
+                                4, dtype=np.float32)
                         act = np.array(self.state.active_submaps)
                         act[kf_id] = True
                         self._active_mask_host = act.astype(bool).copy()
@@ -605,6 +631,12 @@ class FullSLAM:
         # live pose rides with its keyframe's correction
         d = (deltas[current_kf] if current_kf < D
              else np.eye(4, dtype=np.float32))
+        # pending (enqueued, not yet inserted) keyframe poses ride it too
+        if self._pending_fixes:
+            with self._fix_lock:
+                for k in self._pending_fixes:
+                    self._pending_fixes[k] = (
+                        d @ self._pending_fixes[k]).astype(np.float32)
         pose = d @ np.asarray(lie.rt_to_mat(self.state.R, self.state.t))
         self.state = self.state._replace(
             R=jnp.asarray(pose[:3, :3]), t=jnp.asarray(pose[:3, 3])

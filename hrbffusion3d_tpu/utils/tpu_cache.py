@@ -15,3 +15,9 @@ def enable(path: str = "/root/repo/.jax_cache"):
     # every process re-compiled hundreds of them (measured 124-280 s of
     # warm-process overhead before the first frame — NOTES_R5)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if os.environ.get("TPU_CACHE_DEBUG"):
+        # per-executable hit/miss/write lines (compile-stall forensics)
+        import logging
+
+        logging.basicConfig(level=logging.INFO)
+        logging.getLogger("jax._src.compiler").setLevel(logging.DEBUG)
