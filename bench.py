@@ -172,6 +172,11 @@ def full_system():
               flush=True)
         i += k
     sys_.join_backend()
+    if int(os.environ.get("BENCH_SAVE_PLANS", "0")):
+        # accrete this protocol's BA plan-shape signatures into the
+        # committed union (warm-up runs only; the driver bench reads it)
+        sys_.backend.save_plan_cache(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "ba_plans.json"))
     # steady-state estimator (chunks > 3x the best are compile-dominated)
     # — reported ALONGSIDE the all-in number, never instead of it
     floor = min(chunk_times)

@@ -123,7 +123,7 @@ while i < N:
     i += k
 
 sys_.join_backend()
-if int(os.environ.get("FSB_SAVE_PLANS", "0")):
+if int(os.environ.get("FSB_SAVE_PLANS", "1")):
     # persist the converged BA plan shapes: later runs pre-seed them and
     # hit the persistent compile cache from the first keyframe (NOTES_R5)
     sys_.backend.save_plan_cache(
