@@ -22,12 +22,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 
 import jax
+
+# sitecustomize pins the platform to the TPU tunnel via jax.config in every
+# process — the env var alone does NOT stick; hard-override like
+# tests/conftest.py or the "1-device" pass silently runs on the real chip.
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from hrbffusion3d_tpu.backend import ba
